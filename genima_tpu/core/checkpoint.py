@@ -193,7 +193,9 @@ def save_epoch_checkpoint(
         "agent": jax.tree_util.tree_map(np.asarray, agent_params),
     }
     if config is not None:
-        payload["config_json"] = json.dumps(config)
+        payload["config_json"] = np.frombuffer(
+            json.dumps(config).encode("utf-8"), dtype=np.uint8
+        )
     save_pytree(payload, latest)
     # retention: keep num_checkpoints rotated files
     rotated = list_epoch_checkpoints(ckpt_dir)
@@ -205,7 +207,9 @@ def save_epoch_checkpoint(
 def load_epoch_checkpoint(path: str | Path) -> dict:
     payload = load_pytree(path)
     if "config_json" in payload:
-        payload["config"] = json.loads(payload["config_json"])
+        payload["config"] = json.loads(
+            np.asarray(payload["config_json"]).tobytes().decode("utf-8")
+        )
     return payload
 
 
