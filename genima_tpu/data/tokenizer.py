@@ -1,0 +1,232 @@
+"""Self-contained CLIP BPE tokenizer.
+
+The reference tokenizes prompts with HF ``CLIPTokenizer`` for the diffusion
+stage (``diffusion/train_controlnet_genima.py:721``) and OpenAI ``clip``'s
+tokenizer for the controller's language conditioning
+(``controller/env/rlbench_utils.py:156``). Both are byte-level BPE over the
+same 49152-token merge table, lower-cased, with <|startoftext|> /
+<|endoftext|> specials and 77-token context.
+
+This implementation is dependency-free. Vocabulary sources, in order:
+
+* ``merges_path`` — OpenAI's ``bpe_simple_vocab_16e6.txt[.gz]`` (the vocab is
+  derived from the merge list alone, so one file suffices), or an HF
+  ``merges.txt``;
+* a synthetic merge list (tests);
+* if no vocabulary is available, :class:`HashTokenizer` provides a
+  deterministic stand-in with the same interface so end-to-end pipelines and
+  trainers remain runnable (embeddings are then only meaningful with
+  checkpoints trained against it — weight-ported CLIP checkpoints require the
+  real merge table).
+"""
+
+from __future__ import annotations
+
+import gzip
+import html
+import re
+from functools import lru_cache
+from pathlib import Path
+
+import numpy as np
+
+CONTEXT_LENGTH = 77
+VOCAB_SIZE = 49408
+
+
+@lru_cache()
+def bytes_to_unicode() -> dict[int, str]:
+    """GPT-2 byte<->unicode table (identical in CLIP)."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("\xa1"), ord("\xac") + 1))
+        + list(range(ord("\xae"), ord("\xff") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(2**8):
+        if b not in bs:
+            bs.append(b)
+            cs.append(2**8 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+def get_pairs(word: tuple[str, ...]) -> set[tuple[str, str]]:
+    pairs = set()
+    prev = word[0]
+    for ch in word[1:]:
+        pairs.add((prev, ch))
+        prev = ch
+    return pairs
+
+
+def basic_clean(text: str) -> str:
+    text = html.unescape(html.unescape(text))
+    return text.strip()
+
+
+def whitespace_clean(text: str) -> str:
+    return re.sub(r"\s+", " ", text).strip()
+
+
+_TOKEN_PAT = re.compile(
+    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\w]+|[^\s\w]+",
+    re.IGNORECASE,
+)
+
+
+class ClipTokenizer:
+    """CLIP byte-level BPE (OpenAI ``SimpleTokenizer`` semantics)."""
+
+    def __init__(self, merges: list[tuple[str, str]], context_length: int = CONTEXT_LENGTH):
+        self.byte_encoder = bytes_to_unicode()
+        self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
+        vocab = list(self.byte_encoder.values())
+        vocab = vocab + [v + "</w>" for v in vocab]
+        for merge in merges:
+            vocab.append("".join(merge))
+        vocab.extend(["<|startoftext|>", "<|endoftext|>"])
+        self.encoder = {tok: i for i, tok in enumerate(vocab)}
+        self.decoder = {i: tok for tok, i in self.encoder.items()}
+        self.bpe_ranks = {m: i for i, m in enumerate(merges)}
+        self.cache = {
+            "<|startoftext|>": "<|startoftext|>",
+            "<|endoftext|>": "<|endoftext|>",
+        }
+        self.context_length = context_length
+        self.sot = self.encoder["<|startoftext|>"]
+        self.eot = self.encoder["<|endoftext|>"]
+
+    @classmethod
+    def from_merges_file(cls, path: str | Path, **kw) -> "ClipTokenizer":
+        path = Path(path)
+        opener = gzip.open if path.suffix == ".gz" else open
+        with opener(path, "rt", encoding="utf-8") as f:
+            lines = f.read().split("\n")
+        # OpenAI file: first line is a header-ish token list; HF merges.txt
+        # starts with a "#version" comment.
+        if lines and lines[0].startswith("#version"):
+            lines = lines[1:]
+            merge_lines = [ln for ln in lines if ln.strip()]
+        else:
+            merge_lines = lines[1 : 49152 - 256 - 2 + 1]
+        merges = [tuple(ln.split()) for ln in merge_lines if len(ln.split()) == 2]
+        return cls(merges, **kw)
+
+    def bpe(self, token: str) -> str:
+        if token in self.cache:
+            return self.cache[token]
+        word = tuple(token[:-1]) + (token[-1] + "</w>",)
+        pairs = get_pairs(word)
+        if not pairs:
+            return token + "</w>"
+        while True:
+            bigram = min(pairs, key=lambda p: self.bpe_ranks.get(p, float("inf")))
+            if bigram not in self.bpe_ranks:
+                break
+            first, second = bigram
+            new_word: list[str] = []
+            i = 0
+            while i < len(word):
+                try:
+                    j = word.index(first, i)
+                except ValueError:
+                    new_word.extend(word[i:])
+                    break
+                new_word.extend(word[i:j])
+                i = j
+                if i < len(word) - 1 and word[i] == first and word[i + 1] == second:
+                    new_word.append(first + second)
+                    i += 2
+                else:
+                    new_word.append(word[i])
+                    i += 1
+            word = tuple(new_word)
+            if len(word) == 1:
+                break
+            pairs = get_pairs(word)
+        out = " ".join(word)
+        self.cache[token] = out
+        return out
+
+    def encode(self, text: str) -> list[int]:
+        bpe_tokens: list[int] = []
+        text = whitespace_clean(basic_clean(text)).lower()
+        for token in _TOKEN_PAT.findall(text):
+            token = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
+            bpe_tokens.extend(self.encoder[t] for t in self.bpe(token).split(" "))
+        return bpe_tokens
+
+    def decode(self, tokens: list[int]) -> str:
+        text = "".join(self.decoder[t] for t in tokens)
+        return (
+            bytearray(self.byte_decoder[c] for c in text if c in self.byte_decoder)
+            .decode("utf-8", errors="replace")
+            .replace("</w>", " ")
+        )
+
+    def __call__(
+        self, texts: str | list[str], context_length: int | None = None
+    ) -> np.ndarray:
+        """Tokenize to a padded (N, 77) int32 array, truncating like the
+        reference (``truncate=True`` / HF ``truncation=True``): the last slot
+        always holds EOT."""
+        if isinstance(texts, str):
+            texts = [texts]
+        n_ctx = context_length or self.context_length
+        result = np.zeros((len(texts), n_ctx), dtype=np.int32)
+        for i, text in enumerate(texts):
+            tokens = [self.sot] + self.encode(text) + [self.eot]
+            if len(tokens) > n_ctx:
+                tokens = tokens[: n_ctx - 1] + [self.eot]
+            result[i, : len(tokens)] = tokens
+        return result
+
+
+class HashTokenizer:
+    """Deterministic fallback tokenizer with the ClipTokenizer interface.
+
+    Maps each whitespace word to a stable hash bucket in the CLIP vocab
+    range. Lets every pipeline/trainer/test run without the BPE merge table;
+    NOT compatible with weight-ported CLIP checkpoints.
+    """
+
+    def __init__(self, context_length: int = CONTEXT_LENGTH, vocab_size: int = VOCAB_SIZE):
+        self.context_length = context_length
+        self.vocab_size = vocab_size
+        self.sot = vocab_size - 2
+        self.eot = vocab_size - 1
+
+    def encode(self, text: str) -> list[int]:
+        import hashlib
+
+        words = whitespace_clean(basic_clean(text)).lower().split(" ")
+        out = []
+        for w in words:
+            if not w:
+                continue
+            h = int(hashlib.md5(w.encode()).hexdigest(), 16)
+            out.append(h % (self.vocab_size - 2))
+        return out
+
+    def __call__(
+        self, texts: str | list[str], context_length: int | None = None
+    ) -> np.ndarray:
+        if isinstance(texts, str):
+            texts = [texts]
+        n_ctx = context_length or self.context_length
+        result = np.zeros((len(texts), n_ctx), dtype=np.int32)
+        for i, text in enumerate(texts):
+            tokens = [self.sot] + self.encode(text) + [self.eot]
+            if len(tokens) > n_ctx:
+                tokens = tokens[: n_ctx - 1] + [self.eot]
+            result[i, : len(tokens)] = tokens
+        return result
+
+
+def load_tokenizer(merges_path: str | Path | None = None):
+    """Best-effort tokenizer: real BPE if a merge table is given/found."""
+    if merges_path is not None and Path(merges_path).exists():
+        return ClipTokenizer.from_merges_file(merges_path)
+    return HashTokenizer()
