@@ -57,16 +57,24 @@ def resize_half(images: jax.Array) -> jax.Array:
     return jax.image.resize(images, out_shape, method="linear", antialias=True)
 
 
-def untile_to_cameras(tiled: jax.Array, half_resolution: bool = True) -> jax.Array:
+def untile_to_cameras(tiled: jax.Array, target_size: int = 256) -> jax.Array:
     """Generated 512 tile -> per-camera controller inputs.
 
-    (..., 512, 512, C) -> (..., 4, 256, 256, C) when ``half_resolution``
-    (diffusion at 512, controller at 256 — the reference's
-    ``transform_to_half_resolution`` path).
+    (..., 512, 512, C) -> (..., 4, 256, 256, C). The reference crops 256
+    quadrants and applies ``transform_to_half_resolution`` (512->256 resize,
+    a no-op on the already-256 crops at the default eval resolution;
+    ``controller/utils/misc.py:22-47``). Quadrants are resized only when the
+    tile size differs from 2*target_size.
     """
     views = untile_images(tiled)
-    if half_resolution:
-        views = resize_half(views)
+    *lead, four, h, w, c = views.shape
+    if h != target_size:
+        views = jax.image.resize(
+            views,
+            (*lead, four, target_size, target_size, c),
+            method="linear",
+            antialias=h > target_size,
+        )
     return views
 
 
