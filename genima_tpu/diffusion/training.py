@@ -1,0 +1,212 @@
+"""ControlNet fine-tune training — the TPU equivalent of the reference's
+Accelerate/DDP trainer (``diffusion/train_controlnet_genima.py:1317-1480``).
+
+One jitted train step contains the whole reference hot loop: VAE-encode the
+target image, add scheduler noise at random timesteps, CLIP-encode the
+prompt, ControlNet forward -> residuals, frozen UNet epsilon prediction, MSE
+loss, gradients w.r.t. the ControlNet only, global-norm clip (1.0), AdamW
+with LR schedule. Data parallelism is a ``NamedSharding`` on the batch over
+the mesh's ``data`` axis with replicated parameters — XLA inserts the
+gradient all-reduce over ICI (the reference's NCCL DDP equivalent,
+SURVEY.md §2.3).
+
+Frozen models (UNet, VAE, text encoder) are donated into the step as
+arguments so they stay resident on device across steps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from genima_tpu.core.mesh import data_sharding, replicated
+from genima_tpu.diffusion.schedulers import (
+    SchedulerConfig,
+    add_noise,
+    get_velocity,
+    make_alphas_cumprod,
+)
+
+TURBO_TIMESTEPS = (999, 749, 499, 249, 0)  # reference :1339-1354 (ADD paper)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 1e-5
+    scale_lr: bool = False  # reference --scale_lr: lr *= batch * n_dev
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    adam_weight_decay: float = 1e-2
+    adam_epsilon: float = 1e-8
+    max_grad_norm: float = 1.0
+    lr_scheduler: str = "constant"  # constant|constant_with_warmup|linear|cosine
+    lr_warmup_steps: int = 500
+    max_train_steps: int = 15000
+    gradient_accumulation_steps: int = 1
+    timestep_spacing: str = "uniform"  # or "turbo_timesteps"
+    proportion_empty_prompts: float = 0.0
+    scheduler_config: SchedulerConfig = SchedulerConfig()
+
+
+class TrainState(NamedTuple):
+    params: Any  # trainable (controlnet) params
+    opt_state: Any
+    step: jax.Array
+
+
+def make_lr_schedule(cfg: TrainConfig) -> optax.Schedule:
+    """Mirrors diffusers get_scheduler for the choices the reference exposes."""
+    base = cfg.learning_rate
+    if cfg.lr_scheduler == "constant":
+        return optax.constant_schedule(base)
+    if cfg.lr_scheduler == "constant_with_warmup":
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, base, cfg.lr_warmup_steps),
+             optax.constant_schedule(base)],
+            [cfg.lr_warmup_steps],
+        )
+    if cfg.lr_scheduler == "linear":
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, base, cfg.lr_warmup_steps),
+             optax.linear_schedule(
+                 base, 0.0, max(cfg.max_train_steps - cfg.lr_warmup_steps, 1)
+             )],
+            [cfg.lr_warmup_steps],
+        )
+    if cfg.lr_scheduler == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            0.0, base, cfg.lr_warmup_steps, cfg.max_train_steps
+        )
+    raise ValueError(f"Unknown lr_scheduler {cfg.lr_scheduler}")
+
+
+class ControlNetTrainer:
+    def __init__(self, pipe, cfg: TrainConfig, mesh=None):
+        self.pipe = pipe
+        self.cfg = cfg
+        self.mesh = mesh
+        self.alphas_cumprod = jnp.asarray(make_alphas_cumprod(cfg.scheduler_config))
+        tx = optax.chain(
+            optax.clip_by_global_norm(cfg.max_grad_norm),
+            optax.adamw(
+                learning_rate=make_lr_schedule(cfg),
+                b1=cfg.adam_beta1,
+                b2=cfg.adam_beta2,
+                eps=cfg.adam_epsilon,
+                weight_decay=cfg.adam_weight_decay,
+            ),
+        )
+        if cfg.gradient_accumulation_steps > 1:
+            tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)
+        self.tx = tx
+        self._frozen: Optional[dict] = None
+        self._jit_step = None
+
+    def create_state(self, params: dict) -> TrainState:
+        """Split params: ControlNet trains, everything else is frozen
+        (reference freezes vae/unet/text_encoder at :1107-1109)."""
+        self._frozen = {
+            k: v for k, v in params.items() if k != "controlnet"
+        }
+        trainable = params["controlnet"]
+        state = TrainState(
+            params=trainable,
+            opt_state=self.tx.init(trainable),
+            step=jnp.zeros((), jnp.int32),
+        )
+        if self.mesh is not None:
+            rep = replicated(self.mesh)
+            state = jax.device_put(state, rep)
+            self._frozen = jax.device_put(self._frozen, rep)
+        return state
+
+    # -- loss ------------------------------------------------------------
+
+    def _loss_fn(self, cn_params, frozen, batch, key):
+        pipe = self.pipe
+        cfg = self.cfg
+        k_noise, k_t, k_sample = jax.random.split(key, 3)
+
+        pixel_values = batch["pixel_values"]  # (B,H,W,3) in [-1,1]
+        cond_values = batch["conditioning_pixel_values"]  # (B,H,W,3) in [0,1]
+        input_ids = batch["input_ids"]  # (B,77)
+        bsz = pixel_values.shape[0]
+
+        dist = pipe.vae.apply(
+            {"params": frozen["vae"]}, pixel_values.astype(pipe.dtype),
+            method=pipe.vae.encode,
+        )
+        latents = dist.sample(k_sample).astype(jnp.float32)
+        latents = latents * pipe.vae_cfg.scaling_factor
+
+        noise = jax.random.normal(k_noise, latents.shape, jnp.float32)
+        if cfg.timestep_spacing == "turbo_timesteps":
+            idx = jax.random.randint(k_t, (bsz,), 0, len(TURBO_TIMESTEPS))
+            timesteps = jnp.asarray(TURBO_TIMESTEPS, jnp.int32)[idx]
+        else:
+            timesteps = jax.random.randint(
+                k_t, (bsz,), 0, cfg.scheduler_config.num_train_timesteps
+            )
+        noisy = add_noise(self.alphas_cumprod, latents, noise, timesteps)
+
+        encoder_out = pipe.text_encoder.apply(
+            {"params": frozen["text_encoder"]}, input_ids
+        )
+        context = encoder_out.last_hidden_state
+
+        down_res, mid_res = pipe.controlnet.apply(
+            {"params": cn_params},
+            noisy.astype(pipe.dtype),
+            timesteps.astype(jnp.float32),
+            context,
+            cond_values.astype(pipe.dtype),
+        )
+        eps_pred = pipe.unet.apply(
+            {"params": frozen["unet"]},
+            noisy.astype(pipe.dtype),
+            timesteps.astype(jnp.float32),
+            context,
+            down_block_additional_residuals=down_res,
+            mid_block_additional_residual=mid_res,
+        )
+        if cfg.scheduler_config.prediction_type == "epsilon":
+            target = noise
+        elif cfg.scheduler_config.prediction_type == "v_prediction":
+            target = get_velocity(self.alphas_cumprod, latents, noise, timesteps)
+        else:
+            raise ValueError(cfg.scheduler_config.prediction_type)
+        loss = jnp.mean((eps_pred.astype(jnp.float32) - target) ** 2)
+        return loss
+
+    def _step_impl(self, state: TrainState, frozen, batch, key):
+        loss, grads = jax.value_and_grad(self._loss_fn)(
+            state.params, frozen, batch, key
+        )
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        grad_norm = optax.global_norm(grads)
+        new_state = TrainState(params, opt_state, state.step + 1)
+        lr = make_lr_schedule(self.cfg)(state.step)
+        return new_state, {"loss": loss, "grad_norm": grad_norm, "lr": lr}
+
+    def train_step(self, state: TrainState, batch, key):
+        """One jitted DP training step. ``batch`` should be sharded over the
+        mesh's data axis (``core.mesh.shard_batch``)."""
+        if self._jit_step is None:
+            if self.mesh is not None:
+                rep = replicated(self.mesh)
+                data = data_sharding(self.mesh)
+                self._jit_step = jax.jit(
+                    self._step_impl,
+                    in_shardings=(rep, rep, data, rep),
+                    out_shardings=(rep, rep),
+                    donate_argnums=(0,),
+                )
+            else:
+                self._jit_step = jax.jit(self._step_impl, donate_argnums=(0,))
+        return self._jit_step(state, self._frozen, batch, key)
