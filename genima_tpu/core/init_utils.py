@@ -36,8 +36,16 @@ def fast_init(
     **kwargs,
 ) -> Any:
     """Shape-faithful random params without compiling an init program."""
+    # python scalars/bools/strings must stay static (flags like train=True),
+    # so bind them via closure; only array-like kwargs go through eval_shape
+    static_kwargs = {
+        k: v for k, v in kwargs.items() if isinstance(v, (bool, str)) or v is None
+    }
+    dyn_kwargs = {k: v for k, v in kwargs.items() if k not in static_kwargs}
     variables_shape = jax.eval_shape(
-        lambda *a, **k: module.init(rngs_or_key, *a, **k), *args, **kwargs
+        lambda *a, **k: module.init(rngs_or_key, *a, **k, **static_kwargs),
+        *args,
+        **dyn_kwargs,
     )
     rng = np.random.RandomState(seed)
 
@@ -52,7 +60,7 @@ def fast_init(
         )
         if in_zero_subtree:
             arr = np.zeros(shape, dtype)
-        elif name == "scale":
+        elif name in ("scale", "var"):
             arr = np.ones(shape, dtype)
         elif name in ("kernel", "embedding") or name.endswith("_embedding"):
             fan_in = int(np.prod(shape[:-1])) if len(shape) > 1 else shape[0]
