@@ -1,0 +1,242 @@
+"""Fake RLBench environment — a pure-numpy, CoppeliaSim-free stand-in.
+
+The reference has no automated tests; its correctness gate is closed-loop
+eval against the real simulator (SURVEY.md §4). This fake env makes the
+full Genima loop testable in CI: a scripted 7-DoF "reach the joint
+configuration" task with 4 cameras whose images deterministically encode
+the joint state (colored bars), demos with ``joint_position_action`` in
+misc (the contract the reference asserts, ``controller/env/rlbench.py:
+196-206``), seeded ``reset_to_demo`` for reproducible eval episodes
+(``rlbench.py:234-252``), and the same observation dict layout
+(CHW ``{cam}_rgb``, ``low_dim_state`` = [gripper_open, joints],
+``lang_tokens``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import gymnasium as gym
+from gymnasium import spaces
+
+from genima_tpu.envs.demo import DemoStep, compute_action_stats, compute_proprio_stats
+
+CAMERAS = ("wrist", "front", "right_shoulder", "left_shoulder")
+# per-camera color tints so views are distinguishable
+_CAM_TINTS = {
+    "wrist": (1.0, 0.9, 0.9),
+    "front": (0.9, 1.0, 0.9),
+    "right_shoulder": (0.9, 0.9, 1.0),
+    "left_shoulder": (1.0, 1.0, 0.9),
+}
+
+JOINT_LOW = -np.pi * np.ones(7, np.float32)
+JOINT_HIGH = np.pi * np.ones(7, np.float32)
+
+
+def render_joint_bars(
+    joints: np.ndarray, gripper_open: float, camera: str, size: int = 64
+) -> np.ndarray:
+    """(3, size, size) uint8 image encoding joints as vertical bars."""
+    img = np.full((size, size, 3), 128, np.uint8)
+    bar_w = max(size // 9, 1)
+    frac = (joints - JOINT_LOW) / (JOINT_HIGH - JOINT_LOW)
+    for j, f in enumerate(frac):
+        h = int(np.clip(f, 0, 1) * (size - 1))
+        x0 = int((j + 1) * size / 9)
+        img[size - 1 - h :, x0 : x0 + bar_w] = (40 + 25 * j, 200 - 20 * j, 90)
+    # gripper state indicator in the corner
+    g = int(np.clip(gripper_open, 0, 1) * 255)
+    img[: size // 8, : size // 8] = (g, 255 - g, 128)
+    tint = np.array(_CAM_TINTS[camera])
+    img = np.clip(img.astype(np.float32) * tint, 0, 255).astype(np.uint8)
+    return np.transpose(img, (2, 0, 1))  # CHW, reference obs layout
+
+
+class FakeRLBenchEnv(gym.Env):
+    """Scripted reach-task env with the RLBench observation/action contract."""
+
+    metadata = {"render_modes": ["rgb_array"]}
+
+    def __init__(
+        self,
+        task_name: str = "fake_reach",
+        episode_length: int = 60,
+        image_size: int = 64,
+        demo_length: int = 40,
+        cameras: tuple = CAMERAS,
+        seed: int = 0,
+        descriptions: tuple = ("reach the target configuration",),
+    ):
+        self.task_name = task_name
+        self.episode_length = episode_length
+        self.image_size = image_size
+        self.demo_length = demo_length
+        self.cameras = cameras
+        self.descriptions = list(descriptions)
+        self._base_seed = seed
+        self._episode_idx = -1
+        self._rng = np.random.RandomState(seed)
+        self._joints = np.zeros(7, np.float32)
+        self._gripper_open = 1.0
+        self._target = np.zeros(7, np.float32)
+        self._target_gripper = 0.0
+
+        obs_spaces = {
+            f"{cam}_rgb": spaces.Box(
+                0, 255, shape=(3, image_size, image_size), dtype=np.uint8
+            )
+            for cam in cameras
+        }
+        obs_spaces["low_dim_state"] = spaces.Box(
+            -np.inf, np.inf, shape=(8,), dtype=np.float32
+        )
+        obs_spaces["lang_tokens"] = spaces.Box(
+            0, 50000, shape=(1, 77), dtype=np.int32
+        )
+        self.observation_space = spaces.Dict(obs_spaces)
+        self.action_space = spaces.Box(
+            np.concatenate([JOINT_LOW, [0.0]]).astype(np.float32),
+            np.concatenate([JOINT_HIGH, [1.0]]).astype(np.float32),
+            dtype=np.float32,
+        )
+        self._lang_tokens = np.zeros((1, 77), np.int32)
+
+    # -- episode setup -----------------------------------------------------
+
+    def _episode_init(self, idx: int):
+        rng = np.random.RandomState(self._base_seed + 1000 + idx)
+        self._joints = rng.uniform(-0.5, 0.5, 7).astype(np.float32)
+        self._target = rng.uniform(-1.5, 1.5, 7).astype(np.float32)
+        self._gripper_open = 1.0
+        self._target_gripper = float(rng.randint(0, 2))
+        self._steps = 0
+
+    def _obs(self) -> dict:
+        obs = {
+            f"{cam}_rgb": render_joint_bars(
+                self._joints, self._gripper_open, cam, self.image_size
+            )
+            for cam in self.cameras
+        }
+        obs["low_dim_state"] = np.concatenate(
+            [[self._gripper_open], self._joints]
+        ).astype(np.float32)
+        obs["lang_tokens"] = self._lang_tokens.copy()
+        return obs
+
+    def set_lang_tokens(self, tokens: np.ndarray) -> None:
+        self._lang_tokens = np.asarray(tokens, np.int32).reshape(1, 77)
+
+    def reset(self, seed=None, options=None):
+        super().reset(seed=seed)
+        self._episode_idx += 1
+        self._episode_init(self._episode_idx)
+        return self._obs(), {"descriptions": self.descriptions[0], "demo": 0}
+
+    def reset_to_demo(self, idx: int):
+        """Restore the initial state of demo ``idx`` (reference
+        ``reset_to_demo``, ``rlbench.py:234-252``)."""
+        self._episode_init(idx)
+        return None, self._obs()
+
+    def step(self, action):
+        action = np.asarray(action, np.float32)
+        self._joints = np.clip(action[:7], JOINT_LOW, JOINT_HIGH)
+        self._gripper_open = float(action[7] > 0.5)
+        self._steps += 1
+        success = (
+            np.all(np.abs(self._joints - self._target) < 0.1)
+            and self._gripper_open == self._target_gripper
+        )
+        reward = 1.0 if success else 0.0
+        terminated = bool(success)
+        return self._obs(), reward, terminated, False, {"task_success": success}
+
+    # -- demos ---------------------------------------------------------------
+
+    def get_demo(self, idx: int) -> list[DemoStep]:
+        """Scripted linear-interpolation demo with joint_position_action."""
+        self._episode_init(idx)
+        start, target = self._joints.copy(), self._target.copy()
+        steps = []
+        T = self.demo_length
+        for t in range(T):
+            alpha = t / (T - 1)
+            joints = (1 - alpha) * start + alpha * target
+            gripper = 1.0 if alpha < 0.8 else self._target_gripper
+            self._joints, self._gripper_open = joints.astype(np.float32), gripper
+            obs = self._obs()
+            misc = {
+                "joint_position_action": np.concatenate([joints, [gripper]]),
+                "descriptions": self.descriptions[0],
+            }
+            steps.append(
+                DemoStep(
+                    joint_positions=joints.astype(np.float32),
+                    gripper_open=gripper,
+                    observation={
+                        k: v for k, v in obs.items() if k != "lang_tokens"
+                    },
+                    misc=misc,
+                )
+            )
+        return steps
+
+    def get_demos(self, n: int) -> list[list[DemoStep]]:
+        return [self.get_demo(i) for i in range(n)]
+
+
+class FakeRLBenchFactory:
+    """Mirrors GenimaRLBenchFactory's API for the fake env
+    (``controller/env/rlbench.py:255-383``)."""
+
+    def __init__(self, **env_kwargs):
+        self.env_kwargs = env_kwargs
+        self._raw_demos = None
+        self.action_stats = None
+        self.proprio_stats = None
+
+    def make_env(self) -> FakeRLBenchEnv:
+        return FakeRLBenchEnv(**self.env_kwargs)
+
+    def collect_or_fetch_demos(self, num_demos: int):
+        env = self.make_env()
+        self._raw_demos = env.get_demos(num_demos)
+        self.action_stats = compute_action_stats(self._raw_demos)
+        self.proprio_stats = compute_proprio_stats(self._raw_demos)
+        return self._raw_demos
+
+    def make_eval_env(self, *, episode_length=None, frame_stack=1,
+                      action_sequence=20, stats_path=None,
+                      action_stats=None, proprio_stats=None):
+        from genima_tpu.envs.wrappers import wrap_env
+
+        env = self.make_env()
+        return wrap_env(
+            env,
+            episode_length=episode_length or env.episode_length,
+            frame_stack=frame_stack,
+            action_sequence=action_sequence,
+            action_stats=action_stats if action_stats is not None else self.action_stats,
+            proprio_stats=(
+                proprio_stats if proprio_stats is not None else self.proprio_stats
+            ),
+            stats_path=stats_path,
+        )
+
+    def load_demos_into_replay(self, buffer, cameras=CAMERAS, lang_tokens=None):
+        from genima_tpu.envs.demo import demo_to_episode
+
+        assert self._raw_demos is not None, "collect_or_fetch_demos first"
+        for demo in self._raw_demos:
+            ep = demo_to_episode(
+                demo, list(cameras), self.action_stats, self.proprio_stats,
+                lang_tokens,
+            )
+            buffer.add_episode(
+                images=ep["images"],
+                low_dim_state=ep["low_dim_state"],
+                actions=ep["actions"],
+                rewards=ep["rewards"],
+                lang_tokens=ep["lang_tokens"],
+            )
