@@ -1,0 +1,144 @@
+"""Controller training workspace — BC over rendered-target datasets.
+
+Rebuilds the reference's ``ControllerWorkspace`` (``controller/train_act.py``):
+demo collection via the env factory, action/proprio stats computed from demos
+and persisted as JSON next to the checkpoints (the wrapper contract), demos
+ingested into the epoch replay buffer, epoch-based training (default 1000)
+with per-epoch checkpoint rotation (``latest.ckpt`` -> ``<epoch>.ckpt``,
+keep ``num_checkpoints``), ``config.yaml`` saved alongside, auto-resume from
+``latest.ckpt``, and update-exception tolerance (errors are logged and
+training continues, ``train_act.py:228-230``).
+
+Upgrade over the reference: the update step is a sharded jit, so controller
+training data-parallelizes over the mesh (the reference is single-GPU,
+README.md:313-315).
+"""
+
+from __future__ import annotations
+
+import traceback
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from genima_tpu.core import checkpoint as ckpt
+from genima_tpu.core.config import save_yaml
+from genima_tpu.core.logging import MetricLogger
+from genima_tpu.control.replay import EpochReplayBuffer
+
+
+class ControllerWorkspace:
+    def __init__(
+        self,
+        cfg,
+        agent,
+        factory,
+        work_dir: str | Path,
+        num_demos: int = 25,
+        mesh=None,
+        logger: MetricLogger | None = None,
+    ):
+        self.cfg = cfg
+        self.agent = agent
+        self.factory = factory
+        self.work_dir = Path(work_dir)
+        self.work_dir.mkdir(parents=True, exist_ok=True)
+        self.mesh = mesh
+        self.logger = logger or MetricLogger(self.work_dir)
+
+        # demos + stats (reference :111 + rlbench.py:301-383)
+        demos = factory.collect_or_fetch_demos(num_demos)
+        assert len(demos) > 0, "no demonstrations collected"
+
+        # eval env created once to persist stats JSON + validate spaces
+        env = factory.make_eval_env(
+            frame_stack=cfg.get("frame_stack", 1),
+            action_sequence=cfg.get("action_sequence", 20),
+            stats_path=str(self.work_dir),
+        )
+        env.close()
+
+        self.replay = EpochReplayBuffer(
+            batch_size=cfg.get("batch_size", 8),
+            action_sequence=cfg.get("action_sequence", 20),
+            frame_stack=cfg.get("frame_stack", 1),
+            nstep=cfg.get("nstep", 1),
+        )
+        factory.load_demos_into_replay(self.replay)
+
+        params, clip_params = agent.init_params(jax.random.key(cfg.get("seed", 0)))
+        self.state = agent.create_state(params, clip_params)
+        self._epoch = 0
+        self._num_iters = 0
+        self._maybe_resume()
+
+    # -- checkpointing ---------------------------------------------------------
+
+    def _maybe_resume(self) -> None:
+        latest = self.work_dir / ckpt.LATEST_NAME
+        if latest.exists():
+            payload = ckpt.load_epoch_checkpoint(latest)
+            self._epoch = int(payload["epoch"])
+            self._num_iters = int(payload["num_iters"])
+            self.state = self.state._replace(params=payload["agent"])
+            print(f"Resumed from {latest} at epoch {self._epoch}")
+
+    def save_snapshot(self) -> None:
+        cfg_dict = self.cfg.to_dict() if hasattr(self.cfg, "to_dict") else dict(
+            self.cfg
+        )
+        ckpt.save_epoch_checkpoint(
+            self.work_dir,
+            epoch=self._epoch,
+            num_iters=self._num_iters,
+            agent_params=self.state.params,
+            config=cfg_dict,
+            num_checkpoints=self.cfg.get("num_checkpoints", 3),
+        )
+        save_yaml(cfg_dict, self.work_dir / "config.yaml")
+
+    # -- training -----------------------------------------------------------------
+
+    def train(self) -> None:
+        num_epochs = self.cfg.get("num_train_epochs", 1000)
+        checkpoint_every = self.cfg.get("checkpoint_every", 10)
+        key = jax.random.key(self.cfg.get("seed", 0) + 7)
+
+        while self._epoch < num_epochs:
+            epoch_metrics = []
+            for batch in self.replay:
+                try:
+                    key, sub = jax.random.split(key)
+                    jbatch = {
+                        k: v
+                        for k, v in batch.items()
+                        if k in ("images", "qpos", "actions", "is_pad", "lang_tokens")
+                    }
+                    if self.mesh is not None:
+                        from genima_tpu.core.mesh import shard_batch
+
+                        jbatch = shard_batch(jbatch, self.mesh)
+                    self.state, metrics = self.agent.update(
+                        self.state, jbatch, sub, mesh=self.mesh
+                    )
+                    self._num_iters += 1
+                    epoch_metrics.append(
+                        {k: float(v) for k, v in metrics.items()}
+                    )
+                except Exception:
+                    # reference swallows update exceptions and continues
+                    # (train_act.py:228-230)
+                    traceback.print_exc()
+                    continue
+            self._epoch += 1
+            if epoch_metrics:
+                means = {
+                    k: float(np.mean([m[k] for m in epoch_metrics]))
+                    for k in epoch_metrics[0]
+                }
+                self.logger.log_metrics(
+                    means, self._epoch, prefix="train_act", echo=True
+                )
+            if self._epoch % checkpoint_every == 0 or self._epoch == num_epochs:
+                self.save_snapshot()

@@ -1,0 +1,189 @@
+"""Diffusion inference agents — the eval-time wrappers around the jitted
+pipelines.
+
+Rebuilds the reference's agent hierarchy (``controller/agent/``):
+``DiffusionAgent`` lifecycle (load_checkpoint -> set_optimizations ->
+common_setup, ``diffusion_agent.py:10-16``) with three concrete agents
+(SD-ControlNet / SDXL-ControlNet / Pix2Pix). Checkpoint discovery follows
+the reference: the latest ``checkpoint-*/controlnet`` subdir by natural
+sort, else the directory itself as a final checkpoint
+(``sd_controlnet_agent.py:19-29``).
+
+TPU mapping of the reference's optimization toggles: torch.compile ->
+``jax.jit`` (always on — the whole denoise loop is one XLA program);
+xformers/fused-qkv -> the attention backend flag (XLA fused or Pallas
+flash); fp16 -> bf16; channels-last -> NHWC natively.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genima_tpu.core import checkpoint as ckpt
+from genima_tpu.data.tokenizer import load_tokenizer
+from genima_tpu.diffusion.pipeline import (
+    SDControlNetPipeline,
+    SDPix2PixPipeline,
+    SDXLControlNetPipeline,
+)
+
+
+@dataclasses.dataclass(eq=False)
+class DiffusionAgent:
+    """Base lifecycle shared by the three agents."""
+
+    diffusion_ckpt: str | None = None
+    sd_ckpt: str | None = None  # base model weights dir (ported from HF)
+    resolution: int = 512
+    dtype: Any = jnp.bfloat16
+    backend: str = "xla"
+    tokenizer_merges: str | None = None
+    num_inference_steps: int = 5
+    guidance_scale: float = 0.0
+    seed: int = 2  # reference eval_genima.yaml diffusion_seed
+    pipe: Any = None  # inject a preconfigured pipeline (tests use tiny configs)
+
+    def __post_init__(self):
+        if self.pipe is None:
+            self.pipe = self._build_pipeline()
+        self.tokenizer = load_tokenizer(self.tokenizer_merges)
+        self.params = self._load_params()
+        self._episode_counter = 0
+        self._prompt_cache: dict[tuple, Any] = {}
+
+    # -- to be specialized -------------------------------------------------
+
+    def _build_pipeline(self):
+        raise NotImplementedError
+
+    def _model_subdir(self) -> str:
+        return "controlnet"
+
+    # -- checkpoint loading ----------------------------------------------------
+
+    def _load_params(self) -> dict:
+        """Base weights from sd_ckpt dir + fine-tuned submodel from
+        diffusion_ckpt; random init where unavailable (tests)."""
+        params = self.pipe.init_params(jax.random.key(0), self.resolution)
+        if self.sd_ckpt and Path(self.sd_ckpt).exists():
+            base = ckpt.load_pytree(Path(self.sd_ckpt) / "params.msgpack")
+            for k, v in base.items():
+                if k in params:
+                    params[k] = v
+        if self.diffusion_ckpt and Path(self.diffusion_ckpt).exists():
+            sub = self._model_subdir()
+            model_dir = ckpt.find_model_checkpoint(self.diffusion_ckpt, sub)
+            params[sub] = ckpt.load_pytree(model_dir / "params.msgpack")
+            print(f"Loaded {sub} checkpoint from {model_dir}")
+        return params
+
+    # -- episode RNG (reference: fixed torch.Generator(seed) per episode) ------
+
+    def new_episode(self) -> None:
+        self._episode_key = jax.random.key(self.seed)
+
+    def _next_latents(self, batch: int) -> jax.Array:
+        if not hasattr(self, "_episode_key"):
+            self.new_episode()
+        self._episode_key, sub = jax.random.split(self._episode_key)
+        return self.pipe.init_latents(sub, batch, self.resolution, self.resolution)
+
+    # -- prompt handling -----------------------------------------------------
+
+    def _embed_prompts(self, prompts: list[str]):
+        key = tuple(prompts)
+        if key not in self._prompt_cache:
+            ids = jnp.asarray(self.tokenizer(list(prompts)))
+            self._prompt_cache[key] = self.pipe.encode_prompt(self.params, ids)
+        return self._prompt_cache[key]
+
+    # -- inference -------------------------------------------------------------
+
+    def infer(
+        self,
+        images: np.ndarray,  # (B, H, W, 3) uint8 tiled observations
+        prompts: list[str],
+        negative_prompts: list[str] | None = None,
+        num_inference_steps: int | None = None,
+        guidance_scale: float | None = None,
+    ) -> np.ndarray:
+        raise NotImplementedError
+
+
+@dataclasses.dataclass(eq=False)
+class SDControlNetAgent(DiffusionAgent):
+    """SD-turbo + ControlNet (the flagship agent,
+    ``controller/agent/sd_controlnet_agent.py``)."""
+
+    def _build_pipeline(self):
+        return SDControlNetPipeline(dtype=self.dtype, backend=self.backend)
+
+    def infer(self, images, prompts, negative_prompts=None,
+              num_inference_steps=None, guidance_scale=None):
+        steps = num_inference_steps or self.num_inference_steps
+        guidance = (
+            guidance_scale if guidance_scale is not None else self.guidance_scale
+        )
+        cond = jnp.asarray(images, jnp.float32) / 255.0
+        embeds = self._embed_prompts(prompts)
+        neg = None
+        if guidance > 1.0 and negative_prompts:
+            neg = self._embed_prompts(negative_prompts)
+        latents = self._next_latents(cond.shape[0])
+        out = self.pipe.generate(
+            self.params, cond, embeds, latents,
+            num_inference_steps=steps,
+            guidance_scale=float(guidance),
+            negative_prompt_embeds=neg,
+        )
+        return np.asarray(out)
+
+
+@dataclasses.dataclass(eq=False)
+class SDXLControlNetAgent(DiffusionAgent):
+    """SDXL-turbo + ControlNet (``controller/agent/sdxl_controlnet_agent.py``)."""
+
+    def _build_pipeline(self):
+        return SDXLControlNetPipeline(dtype=self.dtype, backend=self.backend)
+
+    def infer(self, images, prompts, negative_prompts=None,
+              num_inference_steps=None, guidance_scale=None):
+        steps = num_inference_steps or self.num_inference_steps
+        cond = jnp.asarray(images, jnp.float32) / 255.0
+        embeds, pooled = self._embed_prompts(prompts)
+        latents = self._next_latents(cond.shape[0])
+        self._episode_key, sub = jax.random.split(self._episode_key)
+        out = self.pipe.generate(
+            self.params, cond, embeds, pooled, latents, sub,
+            num_inference_steps=steps,
+        )
+        return np.asarray(out)
+
+
+@dataclasses.dataclass(eq=False)
+class SDPix2PixAgent(DiffusionAgent):
+    """InstructPix2Pix (``controller/agent/sd_pix2pix_agent.py``) — the
+    fine-tuned UNet is the submodel; conditioning image in [-1, 1]."""
+
+    def _build_pipeline(self):
+        return SDPix2PixPipeline(dtype=self.dtype, backend=self.backend)
+
+    def _model_subdir(self) -> str:
+        return "unet"
+
+    def infer(self, images, prompts, negative_prompts=None,
+              num_inference_steps=None, guidance_scale=None):
+        steps = num_inference_steps or self.num_inference_steps
+        cond = jnp.asarray(images, jnp.float32) / 127.5 - 1.0
+        embeds = self._embed_prompts(prompts)
+        latents = self._next_latents(cond.shape[0])
+        out = self.pipe.generate(
+            self.params, cond, embeds, latents, num_inference_steps=steps
+        )
+        return np.asarray(out)

@@ -1,0 +1,275 @@
+"""Closed-loop evaluation workspace — the product loop.
+
+Rebuilds the reference's ``GenimaEvalWorkspace`` (``controller/eval_genima.py``):
+checkpoint selection (latest / last / last_three / epoch-N), per-episode
+fixed diffusion seed, ``reset_to_demo`` restored episodes, the
+observe -> tile -> diffuse -> untile -> ACT -> execute-chunk loop with
+gen_time / control_time wall-clock metrics, per-episode JSON logs, videos
+named ``<task>_ep<N>_{succ,fail}.mp4``, and a running success-rate printout.
+
+With ``diffusion_agent=None`` this is the ACT-only harness
+(``controller/eval_act.py``): raw RGB observations go straight to the
+controller.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+from genima_tpu.core import checkpoint as ckpt
+from genima_tpu.data.tiling import tile_images, untile_to_cameras
+from genima_tpu.eval.video import VideoRecorder
+
+
+class GenimaEvalWorkspace:
+    def __init__(
+        self,
+        eval_cfg,
+        eval_env,
+        controller_agent,
+        diffusion_agent=None,
+        cameras=("wrist", "front", "right_shoulder", "left_shoulder"),
+        logger=None,
+        tokenizer=None,
+    ):
+        self.eval_cfg = eval_cfg
+        self.eval_env = eval_env
+        self.controller_agent = controller_agent
+        self.diffusion_agent = diffusion_agent
+        self.cameras = list(cameras)
+        self.logger = logger
+        self.tokenizer = tokenizer
+        self.controller_params = None
+        self.video = VideoRecorder(
+            Path(eval_cfg.get("save_image_path", "/tmp")) / "videos",
+            fps=eval_cfg.get("video_fps", 30),
+        )
+
+    # -- checkpoint handling ----------------------------------------------------
+
+    def load_controller_ckpt(self, path: str | Path) -> None:
+        payload = ckpt.load_epoch_checkpoint(path)
+        agent_params = payload["agent"]
+        required = {"encoder", "actor"}
+        missing = required - set(agent_params)
+        if missing:
+            raise ValueError(f"Missing keys in controller checkpoint: {missing}")
+        self.controller_params = agent_params
+        print(f"Loaded controller checkpoint from {path}")
+
+    def select_checkpoints(self) -> list[str]:
+        return ckpt.select_eval_checkpoints(
+            self.eval_cfg.controller_ckpt, self.eval_cfg.get("eval_type", "latest")
+        )
+
+    # -- the closed loop ----------------------------------------------------------
+
+    def _controller_act(self, obs, lang_tokens: np.ndarray) -> np.ndarray:
+        """obs dict (frame-stacked, CHW cams) -> (T, A) normalized chunk."""
+        fs = obs[f"{self.cameras[0]}_rgb"].shape[0]
+        views = []
+        for cam in self.cameras:
+            for t in range(fs):
+                views.append(np.transpose(obs[f"{cam}_rgb"][t], (1, 2, 0)))
+        images = np.stack(views)[None].astype(np.float32)  # (1, V*fs, H, W, 3)
+        qpos = obs["low_dim_state"].reshape(1, -1).astype(np.float32)
+        actions = self.controller_agent.act(
+            self.controller_params, images, qpos, lang_tokens
+        )
+        return np.asarray(actions[0])
+
+    def _generate_targets(self, obs, goal: str, fs: int):
+        """Tile cameras, run the diffusion agent, untile into obs (the
+        reference loop ``eval_genima.py:162-234``)."""
+        frames = []
+        for t in range(fs):
+            views = np.stack(
+                [
+                    np.transpose(obs[f"{cam}_rgb"][t], (1, 2, 0))
+                    for cam in self.cameras
+                ]
+            )
+            frames.append(np.asarray(tile_images(views)))
+        tiled = np.stack(frames)  # (fs, 512, 512, 3)
+
+        prompts = [
+            f"tiled perspectives of a robot arm executing '{goal}'"
+        ] * fs
+        negative_prompts = [
+            "monochrome, lowres, bad anatomy, worst quality, low quality"
+        ] * fs
+
+        target = self.diffusion_agent.infer(
+            tiled,
+            prompts,
+            negative_prompts,
+            num_inference_steps=self.eval_cfg.get("num_diffusion_steps", 5),
+            guidance_scale=self.eval_cfg.get("guidance_scale", 0.0),
+        )  # (fs, 512, 512, 3) uint8
+
+        obs_size = obs[f"{self.cameras[0]}_rgb"].shape[-1]
+        cams = np.asarray(
+            untile_to_cameras(target.astype(np.float32), target_size=obs_size)
+        )
+        # overwrite the 4 camera obs with generated targets (CHW)
+        new_obs = dict(obs)
+        for ci, cam in enumerate(self.cameras):
+            new_obs[f"{cam}_rgb"] = np.transpose(
+                cams[:, ci], (0, 3, 1, 2)
+            ).astype(np.float32)
+        return new_obs, target
+
+    def eval_checkpoints(self, eval_ckpts: list[str]) -> dict:
+        cfg = self.eval_cfg
+        logs = {"eval_episodes": []}
+        logs_name = f"eval_genima_{cfg.task}.json"
+        logs_path = Path(cfg.controller_ckpt) / logs_name
+        execution_horizon = cfg.get("execution_horizon", 20)
+        episode_length = cfg.get("episode_length", 200)
+
+        global_episode, global_total_reward = 0, 0.0
+        for run_id, eval_ckpt in enumerate(eval_ckpts):
+            print(f"\n-------- Run {run_id} ---------")
+            self.load_controller_ckpt(Path(cfg.controller_ckpt) / eval_ckpt)
+            run_episode, run_total_reward = 0, 0.0
+            timings = {"gen_time": [], "control_time": []}
+
+            while run_episode < cfg.get("num_eval_episodes", 10):
+                if self.diffusion_agent is not None:
+                    self.diffusion_agent.new_episode()
+                obs, info = self.eval_env.reset()
+                goal = info.get("descriptions", "")
+                if hasattr(self.eval_env.unwrapped, "reset_to_demo"):
+                    _, raw_obs = self.eval_env.unwrapped.reset_to_demo(
+                        idx=run_episode
+                    )
+                    obs = self._rewrap_obs(raw_obs, obs)
+                lang_tokens = self._lang_tokens(goal, obs)
+
+                self.video.init(self.eval_env, enabled=cfg.get("save_video", False))
+                termination, episode_step, reward = False, 0, 0.0
+                fs = obs[f"{self.cameras[0]}_rgb"].shape[0]
+
+                while not termination:
+                    if self.diffusion_agent is not None:
+                        t0 = time.time()
+                        ctrl_obs, _ = self._generate_targets(obs, goal, fs)
+                        timings["gen_time"].append(time.time() - t0)
+                    else:
+                        ctrl_obs = obs
+
+                    t0 = time.time()
+                    actions = self._controller_act(ctrl_obs, lang_tokens)
+                    timings["control_time"].append(time.time() - t0)
+
+                    actions = actions[:execution_horizon]
+                    try:
+                        obs, reward, termination, truncated, info = (
+                            self.eval_env.step(actions)
+                        )
+                        termination = termination or truncated
+                    except Exception as e:  # sim failure -> terminate episode
+                        print(f"Error: {e}")
+                        termination = True
+                        break
+                    episode_step += len(actions)
+                    self.video.record(self.eval_env)
+                    if episode_step > episode_length:
+                        termination = True
+
+                run_total_reward += float(reward)
+                run_episode += 1
+                global_total_reward += float(reward)
+                global_episode += 1
+
+                logs["eval_episodes"].append(
+                    {
+                        "episode": run_episode,
+                        "reward": float(reward),
+                        "global_episode": global_episode,
+                        "global_reward": global_total_reward,
+                        "steps": episode_step,
+                        "run_id": run_id,
+                        "controller_ckpt": eval_ckpt,
+                    }
+                )
+                logs_path.parent.mkdir(parents=True, exist_ok=True)
+                with open(logs_path, "w") as f:
+                    json.dump(logs, f, indent=4)
+
+                metrics = {
+                    "reward": float(reward),
+                    "success": global_total_reward / float(global_episode),
+                    "episode": global_episode,
+                    "gen_time": float(np.mean(timings["gen_time"] or [0])),
+                    "control_time": float(np.mean(timings["control_time"] or [0])),
+                }
+                if cfg.get("save_video", False):
+                    success = "succ" if reward > 0.9 else "fail"
+                    self.video.save(
+                        f"{cfg.task}_ep{global_episode}_{success}.mp4"
+                    )
+                if self.logger is not None:
+                    self.logger.log_metrics(
+                        metrics, global_episode, prefix="eval_genima", echo=False
+                    )
+                print(
+                    f"Episode {run_episode:>02}\t| Reward - run{run_id}: "
+                    f"{reward:.1f} ({int(run_total_reward)}/{run_episode}="
+                    f"{run_total_reward / run_episode * 100:.1f}%)\t| Steps: "
+                    f"{episode_step}\t| Gen Time: "
+                    f"{np.mean(timings['gen_time'] or [0]):.4f}s\t| Control Time: "
+                    f"{np.mean(timings['control_time'] or [0]):.4f}s"
+                )
+
+        logs["results"] = {
+            "avg_success": f"{global_total_reward / float(global_episode)}",
+            "total_success": global_total_reward,
+            "total_episodes": global_episode,
+            "eval_type": self.eval_cfg.get("eval_type", "latest"),
+        }
+        with open(logs_path, "w") as f:
+            json.dump(logs, f, indent=4)
+        print("----------------------")
+        print(
+            f"Average of {run_episode} episodes (across {len(eval_ckpts)} runs): "
+            f"{global_total_reward / float(global_episode) * 100:.2f}%"
+        )
+        return logs
+
+    def eval(self) -> dict:
+        return self.eval_checkpoints(self.select_checkpoints())
+
+    # -- helpers -------------------------------------------------------------
+
+    def _rewrap_obs(self, raw_obs, wrapped_obs):
+        """reset_to_demo returns an unwrapped obs; re-apply the observation
+        transformations by stacking it like FrameStack would."""
+        if raw_obs is None:
+            return wrapped_obs
+        fs = wrapped_obs[f"{self.cameras[0]}_rgb"].shape[0]
+        out = {}
+        for k, v in raw_obs.items():
+            if k == "low_dim_state":
+                # proprio normalization wrapper sits below FrameStack
+                from genima_tpu.envs.wrappers import NormProprioFromStats
+
+                env = self.eval_env
+                while hasattr(env, "env"):
+                    if isinstance(env, NormProprioFromStats):
+                        v = env.transform_to_norm(v, env.mean, env.std)
+                        break
+                    env = env.env
+            out[k] = np.stack([v] * fs)
+        return out
+
+    def _lang_tokens(self, goal: str, obs) -> np.ndarray:
+        if "lang_tokens" in obs and np.any(obs["lang_tokens"]):
+            return np.asarray(obs["lang_tokens"]).reshape(1, -1)[:, -77:]
+        if self.tokenizer is not None:
+            return np.asarray(self.tokenizer([goal]), np.int32)
+        return np.zeros((1, 77), np.int32)

@@ -1,0 +1,147 @@
+"""End-to-end slice on the fake env: controller BC training -> checkpoint ->
+closed-loop eval (ACT-only and with a tiny diffusion agent). This is the CI
+version of SURVEY.md §7's "minimum end-to-end slice"."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from genima_tpu.control.policy import GenimaACTAgent
+from genima_tpu.control.trainer import ControllerWorkspace
+from genima_tpu.core.config import Config
+from genima_tpu.diffusion.pipeline import SDControlNetPipeline
+from genima_tpu.envs import FakeRLBenchFactory
+from genima_tpu.eval.agents import SDControlNetAgent
+from genima_tpu.eval.harness import GenimaEvalWorkspace
+from genima_tpu.nn.act import ACTConfig
+from genima_tpu.nn.clip_text import CLIPTextConfig
+from genima_tpu.nn.unet import UNetConfig
+from genima_tpu.nn.vae import VAEConfig
+
+
+@pytest.fixture(scope="module")
+def trained_workspace(tmp_path_factory):
+    work_dir = tmp_path_factory.mktemp("ctrl_ckpt")
+    factory = FakeRLBenchFactory(image_size=32, demo_length=12, episode_length=40)
+    agent = GenimaACTAgent(
+        act_cfg=ACTConfig.tiny(num_queries=10, kl_weight=1.0),
+        clip_cfg=CLIPTextConfig.tiny(projection_dim=16),
+        image_size=32,
+        resnet_width=8,
+        num_views=4,
+        lr=3e-4,
+        lr_backbone=3e-4,
+        data_augmentation=False,
+    )
+    cfg = Config.from_dict(
+        {
+            "num_train_epochs": 2,
+            "checkpoint_every": 1,
+            "num_checkpoints": 3,
+            "batch_size": 8,
+            "action_sequence": 10,
+            "frame_stack": 1,
+            "seed": 0,
+        }
+    )
+    ws = ControllerWorkspace(
+        cfg, agent, factory, work_dir, num_demos=3, logger=None
+    )
+    ws.train()
+    return ws, factory, agent, work_dir, cfg
+
+
+def test_training_produces_checkpoints(trained_workspace):
+    ws, factory, agent, work_dir, cfg = trained_workspace
+    assert (work_dir / "latest.ckpt").exists()
+    assert (work_dir / "config.yaml").exists()
+    assert (work_dir / "action_stats.json").exists()
+    assert (work_dir / "proprio_stats.json").exists()
+
+
+def test_training_resume(trained_workspace):
+    ws, factory, agent, work_dir, cfg = trained_workspace
+    ws2 = ControllerWorkspace(
+        cfg, agent, factory, work_dir, num_demos=3, logger=None
+    )
+    assert ws2._epoch == 2  # resumed from latest.ckpt
+
+
+def test_eval_act_closed_loop(trained_workspace):
+    """ACT-only harness (reference eval_act.py): raw RGB -> controller."""
+    ws, factory, agent, work_dir, cfg = trained_workspace
+    eval_env = factory.make_eval_env(
+        frame_stack=1, action_sequence=10, stats_path=str(work_dir)
+    )
+    eval_cfg = Config.from_dict(
+        {
+            "task": "fake_reach",
+            "controller_ckpt": str(work_dir),
+            "eval_type": "latest",
+            "num_eval_episodes": 2,
+            "execution_horizon": 10,
+            "episode_length": 40,
+            "save_video": False,
+        }
+    )
+    harness = GenimaEvalWorkspace(
+        eval_cfg, eval_env, agent, diffusion_agent=None
+    )
+    logs = harness.eval()
+    assert logs["results"]["total_episodes"] == 2
+    assert (work_dir / "eval_genima_fake_reach.json").exists()
+    for ep in logs["eval_episodes"]:
+        assert ep["steps"] > 0
+
+
+def test_eval_genima_closed_loop_with_diffusion(trained_workspace):
+    """Full Genima loop: tile -> tiny diffusion -> untile -> ACT -> execute."""
+    ws, factory, agent, work_dir, cfg = trained_workspace
+    pipe = SDControlNetPipeline(
+        unet_cfg=UNetConfig.tiny(),
+        vae_cfg=VAEConfig.tiny_test(),
+        text_cfg=CLIPTextConfig.tiny(),
+        dtype=jnp.float32,
+    )
+    diffusion_agent = SDControlNetAgent(pipe=pipe, resolution=64)
+    eval_env = factory.make_eval_env(
+        frame_stack=1, action_sequence=10, stats_path=str(work_dir)
+    )
+    eval_cfg = Config.from_dict(
+        {
+            "task": "fake_reach",
+            "controller_ckpt": str(work_dir),
+            "eval_type": "last",
+            "num_eval_episodes": 1,
+            "execution_horizon": 10,
+            "episode_length": 30,
+            "num_diffusion_steps": 2,
+            "guidance_scale": 0.0,
+            "save_video": True,
+            "save_image_path": str(work_dir),
+        }
+    )
+    harness = GenimaEvalWorkspace(eval_cfg, eval_env, agent, diffusion_agent)
+    logs = harness.eval()
+    assert logs["results"]["total_episodes"] == 1
+    # a video artifact was produced
+    vids = list((work_dir / "videos").glob("fake_reach_ep1_*"))
+    assert len(vids) == 1
+
+
+def test_diffusion_agent_episode_seeding():
+    """Same episode seed -> identical generations (reference fixed
+    per-episode generator)."""
+    pipe = SDControlNetPipeline(
+        unet_cfg=UNetConfig.tiny(),
+        vae_cfg=VAEConfig.tiny_test(),
+        text_cfg=CLIPTextConfig.tiny(),
+        dtype=jnp.float32,
+    )
+    d = SDControlNetAgent(pipe=pipe, resolution=32, seed=2)
+    img = np.random.randint(0, 255, (1, 32, 32, 3), np.uint8)
+    d.new_episode()
+    a = d.infer(img, ["x"], num_inference_steps=2)
+    d.new_episode()
+    b = d.infer(img, ["x"], num_inference_steps=2)
+    np.testing.assert_array_equal(a, b)
