@@ -113,7 +113,12 @@ class CLIPEncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array) -> jax.Array:
         c = self.cfg
-        act = quick_gelu if c.hidden_act == "quick_gelu" else nn.gelu
+        # HF "gelu" is the exact erf form, not the tanh approximation
+        act = (
+            quick_gelu
+            if c.hidden_act == "quick_gelu"
+            else lambda x: nn.gelu(x, approximate=False)
+        )
         h = nn.LayerNorm(dtype=self.dtype, name="layer_norm1")(x)
         x = x + CLIPAttention(c, dtype=self.dtype, name="self_attn")(h, mask)
         h = nn.LayerNorm(dtype=self.dtype, name="layer_norm2")(x)
