@@ -1,0 +1,121 @@
+"""Closed-loop Genima evaluation CLI — hydra-style usage preserved:
+
+    python -m genima_tpu.cli.eval_genima controller_ckpt=/path/ckpt \
+        diffusion_ckpt=/path/diffusion task=open_box num_diffusion_steps=5
+
+Merges the SAVED TRAIN CONFIG with eval-time overrides (the reference
+contract, ``controller/eval_genima.py:388-409``).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import jax.numpy as jnp
+
+from genima_tpu.core.config import instantiate, load_config, merge, parse_cli
+from genima_tpu.core.logging import MetricLogger
+from genima_tpu.core.rng import seed_everything
+from genima_tpu.data.tokenizer import load_tokenizer
+
+DEFAULT_CFG = Path(__file__).parent.parent / "cfgs" / "eval_genima.yaml"
+
+
+def load_train_and_eval_cfg(argv):
+    overrides, flags = parse_cli(argv)
+    eval_cfg = load_config(flags.get("config_name", DEFAULT_CFG), overrides)
+    train_cfg = None
+    train_cfg_path = Path(eval_cfg.controller_ckpt) / "config.yaml"
+    if train_cfg_path.exists():
+        train_cfg = load_config(train_cfg_path, resolve_interp=False)
+    return eval_cfg, train_cfg
+
+
+def build_controller_agent(train_cfg, eval_cfg):
+    from genima_tpu.cli.train_act import build_agent
+
+    if train_cfg is not None and "method" in train_cfg:
+        return build_agent(train_cfg)
+    from genima_tpu.control.policy import GenimaACTAgent
+
+    return GenimaACTAgent()
+
+
+def build_eval_env(eval_cfg, train_cfg, stats_path):
+    from genima_tpu.envs.rlbench import make_factory
+
+    env_cfg = dict(eval_cfg.get("env", {}))
+    env_cfg.setdefault("task", eval_cfg.task)
+    env_cfg["episode_length"] = eval_cfg.get("episode_length", 200)
+    if eval_cfg.get("colosseum_use"):
+        env_cfg["colosseum_use"] = True
+        env_cfg["colosseum_task_config"] = eval_cfg.colosseum_task_config
+    factory = make_factory(env_cfg)
+    fs = (train_cfg or {}).get("frame_stack", 1)
+    seq = (train_cfg or {}).get("action_sequence", 20)
+    return factory.make_eval_env(
+        episode_length=eval_cfg.get("episode_length", 200),
+        frame_stack=fs,
+        action_sequence=seq,
+        stats_path=str(stats_path),
+        action_stats=None,  # reload from the persisted JSON (eval contract)
+        proprio_stats=None,
+    )
+
+
+def main(argv=None, with_diffusion: bool = True):
+    eval_cfg, train_cfg = load_train_and_eval_cfg(
+        argv if argv is not None else sys.argv[1:]
+    )
+    seed_everything(eval_cfg.get("seed", 2))
+
+    eval_env = build_eval_env(eval_cfg, train_cfg, eval_cfg.controller_ckpt)
+    controller_agent = build_controller_agent(train_cfg, eval_cfg)
+    params, clip_params = controller_agent.init_params(
+        __import__("jax").random.key(eval_cfg.get("seed", 2))
+    )
+    controller_agent.create_state(params, clip_params)
+
+    diffusion_agent = None
+    if with_diffusion:
+        node = dict(eval_cfg.get("diffusion_agent", {}))
+        node.setdefault("_target_", "genima_tpu.eval.agents.SDControlNetAgent")
+        node.setdefault("diffusion_ckpt", eval_cfg.diffusion_ckpt)
+        node.setdefault("sd_ckpt", eval_cfg.get("sd_ckpt"))
+        node.setdefault("resolution", eval_cfg.get("image_resolution", 512))
+        node.setdefault("num_inference_steps",
+                        eval_cfg.get("num_diffusion_steps", 5))
+        node.setdefault("guidance_scale", eval_cfg.get("guidance_scale", 0.0))
+        node.setdefault("seed", eval_cfg.get("diffusion_seed", 2))
+        node.setdefault("tokenizer_merges", eval_cfg.get("tokenizer_merges"))
+        node.setdefault(
+            "backend",
+            "pallas"
+            if eval_cfg.get("enable_xformers_memory_efficient_attention")
+            else "xla",
+        )
+        diffusion_agent = instantiate(node)
+
+    logger = MetricLogger(
+        Path(eval_cfg.controller_ckpt) / "eval_logs",
+        use_wandb=eval_cfg.get("wandb", {}).get("use", False),
+    )
+    from genima_tpu.eval.harness import GenimaEvalWorkspace
+
+    workspace = GenimaEvalWorkspace(
+        eval_cfg,
+        eval_env,
+        controller_agent,
+        diffusion_agent=diffusion_agent,
+        cameras=eval_cfg.get("env", {}).get(
+            "cameras", ["wrist", "front", "right_shoulder", "left_shoulder"]
+        ),
+        logger=logger,
+        tokenizer=load_tokenizer(eval_cfg.get("tokenizer_merges")),
+    )
+    return workspace.eval()
+
+
+if __name__ == "__main__":
+    main()

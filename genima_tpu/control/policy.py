@@ -78,6 +78,12 @@ class GenimaACTAgent:
     resnet_width: int = 64
 
     def __post_init__(self):
+        # the CLIP text projection feeds FiLM + the task token; keep its
+        # width authoritative from act_cfg.lang_dim
+        if self.clip_cfg.projection_dim != self.act_cfg.lang_dim:
+            self.clip_cfg = dataclasses.replace(
+                self.clip_cfg, projection_dim=self.act_cfg.lang_dim
+            )
         self.encoder = ImageEncoderACT(
             hidden_dim=self.act_cfg.hidden_dim,
             use_lang_cond=self.act_cfg.use_lang_cond,

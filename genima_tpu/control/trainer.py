@@ -64,6 +64,8 @@ class ControllerWorkspace:
             action_sequence=cfg.get("action_sequence", 20),
             frame_stack=cfg.get("frame_stack", 1),
             nstep=cfg.get("nstep", 1),
+            # sharded batches must divide the mesh; drop ragged tails
+            drop_last=mesh is not None,
         )
         factory.load_demos_into_replay(self.replay)
 

@@ -1,0 +1,200 @@
+"""Rendered-dataset reader + TF-free host loader for diffusion training.
+
+Replaces the reference's HF ``rlbench_dataset`` GeneratorBasedBuilder
+(``diffusion/rlbench_dataset/rlbench_dataset.py``) and the torch DataLoader:
+
+* index the rendered dataset tree (tasks -> variation -> episodes) pairing
+  ``image_type`` targets with ``conditioning_image_type`` conditions:
+  tiled mode pairs ``tiled_rgb_rendered[i]`` with ``tiled_rgb[i]``
+  (``:111-156``), non-tiled iterates cameras (``:158-210``),
+* prompt templates: "tiled perspectives of a robot arm executing '<desc>'"
+  / "a robot arm executing '<desc>' from <camera> perspective",
+* ``num_demos`` cap with natural episode ordering (``:97-108``),
+* ``predict_future`` pairs observation t with frame t+horizon (SuSIE-style
+  goal generation, ``:126-134``),
+* tiled mode drops the last frame (``:121-123``),
+* the loader shuffles per epoch, decodes PNGs in a thread pool, applies the
+  resize/center-crop/normalize transforms of ``make_train_dataset``
+  (``train_controlnet_genima.py:917-942``) and tokenizes prompts — emitting
+  NHWC numpy batches ready for one device_put.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import random
+import re
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+
+import numpy as np
+from PIL import Image
+
+
+def _natsort_key(name: str):
+    return [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", name)]
+
+
+@dataclasses.dataclass
+class Sample:
+    image_path: str
+    conditioning_image_path: str
+    text: str
+
+
+def index_rendered_dataset(
+    data_path: str | Path,
+    tasks: list[str],
+    variation: int = 0,
+    num_demos: int = 100,
+    image_type: str = "tiled_rgb_rendered",
+    conditioning_image_type: str = "tiled_rgb",
+    cameras: list[str] | None = None,
+    tiled: bool = True,
+    predict_future: bool = False,
+    predict_future_horizon: int = 20,
+    rng: random.Random | None = None,
+) -> list[Sample]:
+    rng = rng or random.Random(0)
+    data_path = Path(data_path)
+    samples: list[Sample] = []
+    for task in tasks:
+        var_dir = f"variation{variation}" if variation != -1 else "all_variations"
+        eps_folder = data_path / task / var_dir / "episodes"
+        desc_file = data_path / task / var_dir / "variation_descriptions.pkl"
+        if desc_file.exists():
+            import pickle
+
+            with open(desc_file, "rb") as f:
+                descriptions = pickle.load(f)
+        else:
+            descriptions = [task.replace("_", " ")]
+        episodes = sorted(
+            (d for d in eps_folder.iterdir() if d.is_dir()),
+            key=lambda p: _natsort_key(p.name),
+        )[:num_demos]
+        for ep in episodes:
+            if tiled:
+                render_path = ep / image_type
+                rgb_path = ep / conditioning_image_type
+                text = (
+                    "tiled perspectives of a robot arm executing "
+                    f"'{rng.choice(list(descriptions))}'"
+                )
+                n = len(list(render_path.glob("*.png"))) - 1  # drop last frame
+                for i in range(n):
+                    tgt = i
+                    if predict_future:
+                        tgt = min(i + predict_future_horizon, n - 1)
+                    samples.append(
+                        Sample(
+                            str(render_path / f"{tgt}.png"),
+                            str(rgb_path / f"{i}.png"),
+                            text,
+                        )
+                    )
+            else:
+                for camera in cameras or []:
+                    render_path = ep / f"{camera}_{image_type}"
+                    rgb_path = ep / f"{camera}_{conditioning_image_type}"
+                    text = (
+                        f"a robot arm executing "
+                        f"'{rng.choice(list(descriptions))}' from {camera} "
+                        "perspective"
+                    )
+                    n = len(list(render_path.glob("*.png")))
+                    for i in range(n):
+                        tgt = i
+                        if predict_future:
+                            tgt = min(i + predict_future_horizon, n - 1)
+                        samples.append(
+                            Sample(
+                                str(render_path / f"{tgt}.png"),
+                                str(rgb_path / f"{i}.png"),
+                                text,
+                            )
+                        )
+    return samples
+
+
+def _resize_center_crop(img: Image.Image, resolution: int) -> Image.Image:
+    """transforms.Resize(resolution) + CenterCrop(resolution), bilinear."""
+    w, h = img.size
+    scale = resolution / min(w, h)
+    img = img.resize(
+        (round(w * scale), round(h * scale)), Image.Resampling.BILINEAR
+    )
+    w, h = img.size
+    left, top = (w - resolution) // 2, (h - resolution) // 2
+    return img.crop((left, top, left + resolution, top + resolution))
+
+
+class DiffusionDataLoader:
+    """Epoch loader: shuffle -> threaded PNG decode -> NHWC float batches.
+
+    Emits the reference collate layout (``train_controlnet_genima.py:945-963``):
+    ``pixel_values`` in [-1,1], ``conditioning_pixel_values`` in [0,1],
+    ``input_ids`` (B,77) — but NHWC and numpy.
+    """
+
+    def __init__(
+        self,
+        samples: list[Sample],
+        tokenizer,
+        batch_size: int = 4,
+        resolution: int = 512,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_workers: int = 8,
+        drop_last: bool = True,
+        proportion_empty_prompts: float = 0.0,
+    ):
+        self.samples = samples
+        self.tokenizer = tokenizer
+        self.batch_size = batch_size
+        self.resolution = resolution
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.proportion_empty_prompts = proportion_empty_prompts
+        self._rng = np.random.RandomState(seed)
+        self._pool = ThreadPoolExecutor(max_workers=num_workers)
+
+    def __len__(self) -> int:
+        n = len(self.samples) // self.batch_size
+        if not self.drop_last and len(self.samples) % self.batch_size:
+            n += 1
+        return n
+
+    def _load_one(self, sample: Sample) -> tuple[np.ndarray, np.ndarray]:
+        img = _resize_center_crop(
+            Image.open(sample.image_path).convert("RGB"), self.resolution
+        )
+        cond = _resize_center_crop(
+            Image.open(sample.conditioning_image_path).convert("RGB"),
+            self.resolution,
+        )
+        pixel = np.asarray(img, np.float32) / 127.5 - 1.0  # [-1, 1]
+        cond = np.asarray(cond, np.float32) / 255.0  # [0, 1]
+        return pixel, cond
+
+    def __iter__(self):
+        order = np.arange(len(self.samples))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        for start in range(0, len(order), self.batch_size):
+            idx = order[start : start + self.batch_size]
+            if self.drop_last and len(idx) < self.batch_size:
+                return
+            batch_samples = [self.samples[i] for i in idx]
+            decoded = list(self._pool.map(self._load_one, batch_samples))
+            texts = [
+                ""
+                if self._rng.rand() < self.proportion_empty_prompts
+                else s.text
+                for s in batch_samples
+            ]
+            yield {
+                "pixel_values": np.stack([d[0] for d in decoded]),
+                "conditioning_pixel_values": np.stack([d[1] for d in decoded]),
+                "input_ids": np.asarray(self.tokenizer(texts), np.int32),
+            }

@@ -1,0 +1,328 @@
+"""Shared training driver behind the three diffusion CLI trainers.
+
+Mirrors the reference ``main()`` structure (``train_controlnet_genima.py:967``
+onward): seed, dataset + loader, models, optimizer/schedule, resume-from-
+latest, the epoch/step loop with step checkpoints (retention-limited) and
+periodic validation image logging, final model save. Distribution is the
+sharded-jit DP mesh instead of Accelerate.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genima_tpu.core import checkpoint as ckpt
+from genima_tpu.core.logging import MetricLogger
+from genima_tpu.core.mesh import make_mesh, shard_batch
+from genima_tpu.core.rng import seed_everything
+from genima_tpu.data.dataset import DiffusionDataLoader, index_rendered_dataset
+from genima_tpu.data.tokenizer import load_tokenizer
+from genima_tpu.diffusion.schedulers import SchedulerConfig
+from genima_tpu.diffusion.training import (
+    ControlNetTrainer,
+    Pix2PixTrainer,
+    SDXLControlNetTrainer,
+    TrainConfig,
+)
+from genima_tpu.nn.controlnet import controlnet_params_from_unet
+from genima_tpu.weights.load_pretrained import load_pretrained_pipeline
+
+
+def build_pipeline(args, variant: str, pipe=None):
+    from genima_tpu.diffusion.pipeline import (
+        SDControlNetPipeline,
+        SDPix2PixPipeline,
+        SDXLControlNetPipeline,
+    )
+
+    if pipe is not None:
+        return pipe
+    backend = (
+        "pallas" if args.enable_xformers_memory_efficient_attention else "xla"
+    )
+    dtype = jnp.float32 if args.mixed_precision == "no" else jnp.bfloat16
+    if variant == "sd":
+        return SDControlNetPipeline(dtype=dtype, backend=backend)
+    if variant == "sdxl":
+        return SDXLControlNetPipeline(dtype=dtype, backend=backend)
+    if variant == "pix2pix":
+        return SDPix2PixPipeline(dtype=dtype, backend=backend)
+    raise ValueError(variant)
+
+
+def make_train_dataset(args, tokenizer):
+    samples = index_rendered_dataset(
+        args.data_path,
+        tasks=args.tasks,
+        variation=args.variation,
+        num_demos=args.num_demos,
+        image_type=args.image_type,
+        conditioning_image_type=args.conditioning_image_type,
+        cameras=args.cameras,
+        tiled=args.tiled,
+    )
+    if args.max_train_samples is not None:
+        rng = np.random.RandomState(args.seed or 0)
+        pick = rng.permutation(len(samples))[: args.max_train_samples]
+        samples = [samples[i] for i in pick]
+    return DiffusionDataLoader(
+        samples,
+        tokenizer,
+        batch_size=args.train_batch_size,
+        resolution=args.resolution,
+        num_workers=args.dataloader_num_workers,
+        seed=args.seed or 0,
+        proportion_empty_prompts=args.proportion_empty_prompts,
+    )
+
+
+def log_validation(pipe, params, loader, args, logger, step, variant):
+    """4-step fixed validation with normalized-MSE maps
+    (reference ``train_controlnet_genima.py:517-718``)."""
+    batch = next(iter(loader))
+    cond = jnp.asarray(batch["conditioning_pixel_values"][:1])
+    gt = batch["pixel_values"][:1]
+    ids = jnp.asarray(batch["input_ids"][:1])
+    latents = pipe.init_latents(
+        jax.random.key(args.seed or 0), 1, args.resolution, args.resolution
+    )
+    if variant == "sdxl":
+        embeds, pooled = pipe.encode_prompt(params, ids)
+        image = pipe.generate(
+            params, cond, embeds, pooled, latents,
+            jax.random.key(1), num_inference_steps=4,
+        )
+    elif variant == "pix2pix":
+        embeds = pipe.encode_prompt(params, ids)
+        image = pipe.generate(
+            params, cond * 2 - 1, embeds, latents, num_inference_steps=4
+        )
+    else:
+        embeds = pipe.encode_prompt(params, ids)
+        image = pipe.generate(
+            params, cond, embeds, latents,
+            num_inference_steps=4, guidance_scale=0.0,
+        )
+    image = np.asarray(image[0], np.float32)
+    gt_img = ((gt[0] + 1) * 127.5).astype(np.float32)
+    mse = float(np.mean((image - gt_img) ** 2))
+    logger.log_metrics({"val_mse": mse}, step, prefix="validation")
+
+    out_dir = Path(args.output_dir) / args.logging_dir / "validation"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    try:
+        from PIL import Image
+
+        Image.fromarray(image.astype(np.uint8)).save(
+            out_dir / f"step{step}_gen.png"
+        )
+        Image.fromarray(gt_img.astype(np.uint8)).save(
+            out_dir / f"step{step}_gt.png"
+        )
+    except Exception:
+        pass
+    return mse
+
+
+def init_model_params(pipe, args, variant: str) -> dict:
+    params = pipe.init_params(
+        jax.random.key(args.seed or 0), image_size=args.resolution
+    )
+    if args.pretrained_model_name_or_path and Path(
+        args.pretrained_model_name_or_path
+    ).is_dir():
+        report = load_pretrained_pipeline(
+            args.pretrained_model_name_or_path, params
+        )
+        print(f"base weights: {report}")
+    if variant in ("sd", "sdxl"):
+        if args.controlnet_model_name_or_path and Path(
+            args.controlnet_model_name_or_path
+        ).exists():
+            model_dir = ckpt.find_model_checkpoint(
+                args.controlnet_model_name_or_path, "controlnet"
+            )
+            params["controlnet"] = ckpt.load_pytree(
+                model_dir / "params.msgpack", target=params["controlnet"]
+            )
+            print(f"controlnet init from {model_dir}")
+        else:
+            # reference default: ControlNetModel.from_unet (:1066-1071)
+            params["controlnet"] = controlnet_params_from_unet(
+                params["unet"], params["controlnet"]
+            )
+    return params
+
+
+def run_training(args, variant: str = "sd", pipe=None) -> dict:
+    if args.seed is not None:
+        seed_everything(args.seed)
+    tokenizer = load_tokenizer(args.tokenizer_name)
+    pipe = build_pipeline(args, variant, pipe)
+
+    # DDP semantics: each device processes train_batch_size samples, so the
+    # global batch is train_batch_size * n_devices (the reference's per-rank
+    # batches under accelerate launch). Tiny datasets fall back to one device.
+    import jax as _jax
+
+    n_dev = len(_jax.devices())
+    probe = make_train_dataset(args, tokenizer)
+    if len(probe.samples) < args.train_batch_size * n_dev:
+        n_dev = 1
+    mesh = make_mesh(n_data=n_dev, devices=_jax.devices()[:n_dev])
+    loader = probe
+    loader.batch_size = args.train_batch_size * n_dev
+
+    steps_per_epoch = max(len(loader), 1)
+    max_steps = args.max_train_steps or args.num_train_epochs * steps_per_epoch
+    lr = args.learning_rate
+    if args.scale_lr:
+        lr *= args.gradient_accumulation_steps * args.train_batch_size * n_dev
+
+    sched_cfg = SchedulerConfig(
+        timestep_spacing="trailing" if args.train_scheduler == "euler_discrete"
+        else "leading"
+    )
+    tcfg = TrainConfig(
+        learning_rate=lr,
+        adam_beta1=args.adam_beta1,
+        adam_beta2=args.adam_beta2,
+        adam_weight_decay=args.adam_weight_decay,
+        adam_epsilon=args.adam_epsilon,
+        max_grad_norm=args.max_grad_norm,
+        lr_scheduler=args.lr_scheduler,
+        lr_warmup_steps=args.lr_warmup_steps * n_dev,
+        max_train_steps=max_steps * n_dev,
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
+        timestep_spacing=args.timestep_spacing,
+        augmentations=args.augmentations,
+        scheduler_config=sched_cfg,
+    )
+    if variant == "sdxl":
+        trainer = SDXLControlNetTrainer(pipe, tcfg, mesh, args.resolution)
+        model_subdir = "controlnet"
+    elif variant == "pix2pix":
+        trainer = Pix2PixTrainer(
+            pipe, tcfg, mesh,
+            conditioning_dropout_prob=getattr(
+                args, "conditioning_dropout_prob", None
+            ),
+            use_ema=getattr(args, "use_ema", False),
+            null_token_ids=tokenizer([""]),
+        )
+        model_subdir = "unet"
+    else:
+        trainer = ControlNetTrainer(pipe, tcfg, mesh)
+        model_subdir = "controlnet"
+
+    params = init_model_params(pipe, args, variant)
+    state = trainer.create_state(params)
+
+    # resume (reference :1281-1304; missing checkpoint -> fresh start)
+    global_step = 0
+    if args.resume_from_checkpoint:
+        resume_dir = None
+        if args.resume_from_checkpoint == "latest":
+            resume_dir = ckpt.latest_step_checkpoint(args.output_dir)
+        elif Path(args.resume_from_checkpoint).exists():
+            resume_dir = Path(args.resume_from_checkpoint)
+        if resume_dir is None:
+            print(
+                f"Checkpoint '{args.resume_from_checkpoint}' does not exist. "
+                "Starting a new training run."
+            )
+        else:
+            model_params = ckpt.load_pytree(
+                resume_dir / model_subdir / "params.msgpack",
+                target=state.params,
+            )
+            train_state_path = resume_dir / "train_state.msgpack"
+            if train_state_path.exists():
+                restored = ckpt.load_pytree(
+                    train_state_path,
+                    target={"opt_state": state.opt_state, "step": state.step},
+                )
+                state = state._replace(
+                    params=model_params,
+                    opt_state=restored["opt_state"],
+                    step=restored["step"],
+                )
+            else:
+                state = state._replace(params=model_params)
+            global_step = int(state.step)
+            print(f"Resumed from {resume_dir} at step {global_step}")
+
+    logger = MetricLogger(
+        Path(args.output_dir) / args.logging_dir,
+        use_tb=args.report_to in ("tensorboard", "all"),
+        use_wandb=args.report_to in ("wandb", "all"),
+        wandb_kwargs={"project": args.tracker_project_name,
+                      "name": args.report_name},
+    )
+
+    key = jax.random.key((args.seed or 0) + 1234)
+    t_start = time.time()
+    done = False
+    val_mse = None
+    while not done:
+        for batch in loader:
+            key, sub = jax.random.split(key)
+            sharded = shard_batch(batch, mesh)
+            state, metrics = trainer.train_step(state, sharded, sub)
+            global_step += 1
+            if global_step % 50 == 0 or global_step == 1:
+                logger.log_metrics(
+                    {
+                        "loss": float(metrics["loss"]),
+                        "lr": float(metrics["lr"]),
+                        "steps_per_sec": global_step / (time.time() - t_start),
+                    },
+                    global_step,
+                    prefix="train",
+                )
+            if global_step % args.checkpointing_steps == 0:
+                ckpt.save_step_checkpoint(
+                    args.output_dir,
+                    global_step,
+                    model_params=state.params,
+                    model_subdir=model_subdir,
+                    train_state={"opt_state": state.opt_state,
+                                 "step": state.step},
+                    total_limit=args.checkpoints_total_limit,
+                )
+                print(f"Saved state to checkpoint-{global_step}")
+            if (
+                args.validation_steps
+                and global_step % args.validation_steps == 0
+            ):
+                full_params = dict(trainer._frozen)
+                full_params[model_subdir] = state.params
+                val_mse = log_validation(
+                    pipe, full_params, loader, args, logger, global_step,
+                    variant,
+                )
+            if global_step >= max_steps:
+                done = True
+                break
+        if steps_per_epoch == 0:
+            break
+
+    # final save at the output root (reference :1483-1486)
+    final_params = (
+        trainer.ema_params
+        if getattr(trainer, "use_ema", False) and trainer.ema_params is not None
+        else state.params
+    )
+    ckpt.save_final_model(args.output_dir, final_params, model_subdir)
+    logger.close()
+    return {
+        "global_step": global_step,
+        "final_loss": float(metrics["loss"]),
+        "val_mse": val_mse,
+    }

@@ -50,6 +50,9 @@ class TrainConfig:
     gradient_accumulation_steps: int = 1
     timestep_spacing: str = "uniform"  # or "turbo_timesteps"
     proportion_empty_prompts: float = 0.0
+    # comma list applied inside the jitted step (reference augment_data,
+    # train_controlnet_genima.py:775-830): colorjitter,elastic,blur,affine,crop
+    augmentations: str | None = None
     scheduler_config: SchedulerConfig = SchedulerConfig()
 
 
@@ -113,7 +116,8 @@ class ControlNetTrainer:
         self._frozen = {
             k: v for k, v in params.items() if k != "controlnet"
         }
-        trainable = params["controlnet"]
+        # copy: from_unet init aliases UNet buffers; donation needs them split
+        trainable = jax.tree_util.tree_map(jnp.array, params["controlnet"])
         state = TrainState(
             params=trainable,
             opt_state=self.tx.init(trainable),
@@ -136,6 +140,14 @@ class ControlNetTrainer:
         cond_values = batch["conditioning_pixel_values"]  # (B,H,W,3) in [0,1]
         input_ids = batch["input_ids"]  # (B,77)
         bsz = pixel_values.shape[0]
+
+        if cfg.augmentations:
+            from genima_tpu.data.augment import controlnet_train_augment
+
+            key, k_aug = jax.random.split(key)
+            pixel_values, cond_values = controlnet_train_augment(
+                k_aug, pixel_values, cond_values, cfg.augmentations
+            )
 
         dist = pipe.vae.apply(
             {"params": frozen["vae"]}, pixel_values.astype(pipe.dtype),
@@ -210,3 +222,207 @@ class ControlNetTrainer:
             else:
                 self._jit_step = jax.jit(self._step_impl, donate_argnums=(0,))
         return self._jit_step(state, self._frozen, batch, key)
+
+
+class SDXLControlNetTrainer(ControlNetTrainer):
+    """SDXL variant (reference ``train_controlnet_sdxl_genima.py``): dual
+    text encoders (penultimate hidden states concatenated, pooled embeds
+    from encoder 2) + text_time micro-conditioning ``add_time_ids``
+    (orig size, crop coords, target size; ``:1232-1261``).
+
+    Divergence note: the reference precomputes text embeddings via
+    ``dataset.map`` then frees the encoders (a GPU-memory measure,
+    ``:1263-1286``); here both frozen encoders run inside the jitted step —
+    cheaper than a host round-trip on TPU and bit-identical in result.
+    """
+
+    def __init__(self, pipe, cfg: TrainConfig, mesh=None, resolution: int = 512):
+        super().__init__(pipe, cfg, mesh)
+        self.resolution = resolution
+
+    def _loss_fn(self, cn_params, frozen, batch, key):
+        pipe = self.pipe
+        cfg = self.cfg
+        k_noise, k_t, k_sample = jax.random.split(key, 3)
+
+        pixel_values = batch["pixel_values"]
+        cond_values = batch["conditioning_pixel_values"]
+        input_ids = batch["input_ids"]
+        bsz = pixel_values.shape[0]
+
+        dist = pipe.vae.apply(
+            {"params": frozen["vae"]}, pixel_values.astype(pipe.dtype),
+            method=pipe.vae.encode,
+        )
+        latents = dist.sample(k_sample).astype(jnp.float32)
+        latents = latents * pipe.vae_cfg.scaling_factor
+
+        noise = jax.random.normal(k_noise, latents.shape, jnp.float32)
+        if cfg.timestep_spacing == "turbo_timesteps":
+            idx = jax.random.randint(k_t, (bsz,), 0, len(TURBO_TIMESTEPS))
+            timesteps = jnp.asarray(TURBO_TIMESTEPS, jnp.int32)[idx]
+        else:
+            timesteps = jax.random.randint(
+                k_t, (bsz,), 0, cfg.scheduler_config.num_train_timesteps
+            )
+        noisy = add_noise(self.alphas_cumprod, latents, noise, timesteps)
+
+        out1 = pipe.text_encoder.apply(
+            {"params": frozen["text_encoder"]}, input_ids
+        )
+        out2 = pipe.text_encoder_2.apply(
+            {"params": frozen["text_encoder_2"]}, input_ids
+        )
+        context = jnp.concatenate(
+            [out1.penultimate_hidden_state, out2.penultimate_hidden_state], -1
+        )
+        added = {
+            "text_embeds": out2.text_embeds,
+            "time_ids": pipe.make_time_ids(bsz, self.resolution),
+        }
+
+        down_res, mid_res = pipe.controlnet.apply(
+            {"params": cn_params},
+            noisy.astype(pipe.dtype),
+            timesteps.astype(jnp.float32),
+            context,
+            cond_values.astype(pipe.dtype),
+            added_cond_kwargs=added,
+        )
+        eps_pred = pipe.unet.apply(
+            {"params": frozen["unet"]},
+            noisy.astype(pipe.dtype),
+            timesteps.astype(jnp.float32),
+            context,
+            down_block_additional_residuals=down_res,
+            mid_block_additional_residual=mid_res,
+            added_cond_kwargs=added,
+        )
+        if cfg.scheduler_config.prediction_type == "epsilon":
+            target = noise
+        else:
+            target = get_velocity(self.alphas_cumprod, latents, noise, timesteps)
+        return jnp.mean((eps_pred.astype(jnp.float32) - target) ** 2)
+
+
+class Pix2PixTrainer(ControlNetTrainer):
+    """InstructPix2Pix fine-tune (reference
+    ``train_instruct_pix2pix_genima.py``): trains the WHOLE 8-channel UNet;
+    the conditioning image is VAE-encoded with ``.mode()`` and channel-
+    concatenated with the noisy latents (``:1196-1236``); classifier-free
+    conditioning dropout masks prompt/image (``:1202-1231``); optional EMA
+    of the UNet (``:1269-1273``).
+    """
+
+    def __init__(
+        self,
+        pipe,
+        cfg: TrainConfig,
+        mesh=None,
+        conditioning_dropout_prob: float | None = 0.05,
+        use_ema: bool = False,
+        ema_decay: float = 0.9999,
+        null_token_ids=None,
+    ):
+        super().__init__(pipe, cfg, mesh)
+        self.conditioning_dropout_prob = conditioning_dropout_prob
+        self.use_ema = use_ema
+        self.ema_decay = ema_decay
+        self.null_token_ids = null_token_ids
+
+    def create_state(self, params: dict) -> TrainState:
+        self._frozen = {k: v for k, v in params.items() if k != "unet"}
+        trainable = jax.tree_util.tree_map(jnp.array, params["unet"])
+        state = TrainState(
+            params=trainable,
+            opt_state=self.tx.init(trainable),
+            step=jnp.zeros((), jnp.int32),
+        )
+        self.ema_params = (
+            jax.tree_util.tree_map(lambda x: x, trainable) if self.use_ema else None
+        )
+        if self.mesh is not None:
+            rep = replicated(self.mesh)
+            state = jax.device_put(state, rep)
+            self._frozen = jax.device_put(self._frozen, rep)
+            if self.ema_params is not None:
+                self.ema_params = jax.device_put(self.ema_params, rep)
+        return state
+
+    def _loss_fn(self, unet_params, frozen, batch, key):
+        pipe = self.pipe
+        cfg = self.cfg
+        k_noise, k_t, k_sample, k_drop = jax.random.split(key, 4)
+
+        pixel_values = batch["pixel_values"]  # edited/target image [-1,1]
+        cond_values = batch["conditioning_pixel_values"]  # original, [0,1]
+        input_ids = batch["input_ids"]
+        bsz = pixel_values.shape[0]
+
+        dist = pipe.vae.apply(
+            {"params": frozen["vae"]}, pixel_values.astype(pipe.dtype),
+            method=pipe.vae.encode,
+        )
+        latents = dist.sample(k_sample).astype(jnp.float32)
+        latents = latents * pipe.vae_cfg.scaling_factor
+
+        # conditioning image in [-1,1] for the VAE, encoded with mode()
+        cond_in = cond_values * 2.0 - 1.0
+        image_embeds = pipe.vae.apply(
+            {"params": frozen["vae"]}, cond_in.astype(pipe.dtype),
+            method=pipe.vae.encode,
+        ).mode().astype(jnp.float32)
+
+        noise = jax.random.normal(k_noise, latents.shape, jnp.float32)
+        timesteps = jax.random.randint(
+            k_t, (bsz,), 0, cfg.scheduler_config.num_train_timesteps
+        )
+        noisy = add_noise(self.alphas_cumprod, latents, noise, timesteps)
+
+        context = pipe.text_encoder.apply(
+            {"params": frozen["text_encoder"]}, input_ids
+        ).last_hidden_state
+
+        if self.conditioning_dropout_prob:
+            p = self.conditioning_dropout_prob
+            random_p = jax.random.uniform(k_drop, (bsz,))
+            # prompt dropped when random_p < 2p
+            null_ids = (
+                jnp.asarray(self.null_token_ids, jnp.int32)
+                if self.null_token_ids is not None
+                else jnp.zeros((1, input_ids.shape[1]), jnp.int32)
+            )
+            null_ctx = pipe.text_encoder.apply(
+                {"params": frozen["text_encoder"]}, null_ids
+            ).last_hidden_state
+            prompt_mask = (random_p < 2 * p)[:, None, None]
+            context = jnp.where(prompt_mask, null_ctx, context)
+            # image dropped when p <= random_p < 3p
+            image_mask = 1.0 - (
+                (random_p >= p) & (random_p < 3 * p)
+            ).astype(image_embeds.dtype)
+            image_embeds = image_embeds * image_mask[:, None, None, None]
+
+        model_in = jnp.concatenate(
+            [noisy.astype(pipe.dtype), image_embeds.astype(pipe.dtype)], axis=-1
+        )
+        eps_pred = pipe.unet.apply(
+            {"params": unet_params},
+            model_in,
+            timesteps.astype(jnp.float32),
+            context,
+        )
+        if cfg.scheduler_config.prediction_type == "epsilon":
+            target = noise
+        else:
+            target = get_velocity(self.alphas_cumprod, latents, noise, timesteps)
+        return jnp.mean((eps_pred.astype(jnp.float32) - target) ** 2)
+
+    def train_step(self, state, batch, key):
+        state, metrics = super().train_step(state, batch, key)
+        if self.use_ema:
+            d = self.ema_decay
+            self.ema_params = jax.tree_util.tree_map(
+                lambda e, p: e * d + p * (1 - d), self.ema_params, state.params
+            )
+        return state, metrics

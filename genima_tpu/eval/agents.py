@@ -187,3 +187,21 @@ class SDPix2PixAgent(DiffusionAgent):
             self.params, cond, embeds, latents, num_inference_steps=steps
         )
         return np.asarray(out)
+
+
+def make_tiny_sd_agent(resolution: int = 64, **kw) -> SDControlNetAgent:
+    """Tiny-config agent for CI/smoke runs (hydra-targetable)."""
+    import jax.numpy as jnp
+
+    from genima_tpu.nn.clip_text import CLIPTextConfig
+    from genima_tpu.nn.unet import UNetConfig
+    from genima_tpu.nn.vae import VAEConfig
+
+    pipe = SDControlNetPipeline(
+        unet_cfg=UNetConfig.tiny(),
+        vae_cfg=VAEConfig.tiny_test(),
+        text_cfg=CLIPTextConfig.tiny(),
+        dtype=jnp.float32,
+    )
+    kw.pop("sd_ckpt", None)
+    return SDControlNetAgent(pipe=pipe, resolution=resolution, **kw)

@@ -143,9 +143,12 @@ class CLIPTextModel(nn.Module):
     def __call__(self, input_ids: jax.Array) -> CLIPTextOutput:
         c = self.cfg
         b, s = input_ids.shape
+        # clamp: out-of-range ids (e.g. the hash-fallback tokenizer against a
+        # tiny test vocab) must not produce non-finite embeddings
+        safe_ids = jnp.clip(input_ids, 0, c.vocab_size - 1)
         tok = nn.Embed(
             c.vocab_size, c.hidden_size, dtype=self.dtype, name="token_embedding"
-        )(input_ids)
+        )(safe_ids)
         pos = self.param(
             "position_embedding",
             nn.initializers.normal(0.01),

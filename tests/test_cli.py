@@ -1,0 +1,275 @@
+"""CLI integration tests: the reference-compatible entry points end-to-end
+on tiny configs / fake envs / synthetic datasets."""
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from genima_tpu.core import checkpoint as ckpt
+
+
+# ---------------------------------------------------------------------------
+# diffusion trainer CLI (tiny pipeline injected)
+# ---------------------------------------------------------------------------
+
+
+def _make_rendered_dataset(root, task="toy", episodes=2, frames=6, size=32):
+    """Rendered-dataset tree with tiled_rgb / tiled_rgb_rendered pairs."""
+    rng = np.random.RandomState(0)
+    for ep in range(episodes):
+        ep_dir = root / task / "variation0" / "episodes" / f"episode{ep}"
+        for sub in ("tiled_rgb", "tiled_rgb_rendered"):
+            d = ep_dir / sub
+            d.mkdir(parents=True)
+            for i in range(frames):
+                Image.fromarray(
+                    rng.randint(0, 255, (size, size, 3), dtype=np.uint8)
+                ).save(d / f"{i}.png")
+    return root
+
+
+@pytest.fixture(scope="module")
+def tiny_pipe():
+    from genima_tpu.diffusion.pipeline import SDControlNetPipeline
+    from genima_tpu.nn.clip_text import CLIPTextConfig
+    from genima_tpu.nn.unet import UNetConfig
+    from genima_tpu.nn.vae import VAEConfig
+
+    return SDControlNetPipeline(
+        unet_cfg=UNetConfig.tiny(),
+        vae_cfg=VAEConfig.tiny_test(),
+        text_cfg=CLIPTextConfig.tiny(),
+        dtype=jnp.float32,
+    )
+
+
+def test_train_controlnet_cli(tmp_path, tiny_pipe):
+    from genima_tpu.cli.train_controlnet_genima import parse_args
+    from genima_tpu.diffusion.driver import run_training
+
+    data = _make_rendered_dataset(tmp_path / "data")
+    out = tmp_path / "out"
+    args = parse_args(
+        [
+            "--data_path", str(data),
+            "--tasks", "toy",
+            "--output_dir", str(out),
+            "--resolution", "16",
+            "--train_batch_size", "2",
+            "--max_train_steps", "6",
+            "--checkpointing_steps", "2",
+            "--checkpoints_total_limit", "2",
+            "--validation_steps", "3",
+            "--seed", "0",
+            "--learning_rate", "1e-4",
+            "--augmentations", "colorjitter,crop",
+            "--mixed_precision", "no",
+        ]
+    )
+    result = run_training(args, variant="sd", pipe=tiny_pipe)
+    assert result["global_step"] == 6
+    assert np.isfinite(result["final_loss"])
+    assert result["val_mse"] is not None
+    # retention: at most 2 step checkpoints, latest is checkpoint-6
+    steps = [s for s, _ in ckpt.list_step_checkpoints(out)]
+    assert steps == [4, 6]
+    # final model at output root
+    assert (out / "controlnet" / "params.msgpack").exists()
+    # metrics logged
+    assert (out / "logs" / "metrics.jsonl").exists()
+
+    # resume from latest continues the step count
+    args.max_train_steps = 8
+    args.resume_from_checkpoint = "latest"
+    result2 = run_training(args, variant="sd", pipe=tiny_pipe)
+    assert result2["global_step"] == 8
+
+
+def test_train_act_and_eval_act_cli(tmp_path):
+    from genima_tpu.cli import eval_act, train_act
+
+    work = tmp_path / "ctrl"
+    ws = train_act.main(
+        [
+            f"work_dir={work}",
+            "env.factory=fake",
+            "env.task=fake_reach",
+            "env.image_size=32",
+            "env.episode_length=30",
+            "num_train_epochs=1",
+            "checkpoint_every=1",
+            "num_demos=2",
+            "batch_size=4",
+            "action_sequence=8",
+            "method.image_size=32",
+            "+method.resnet_width=8",
+            "method.act_cfg.hidden_dim=32",
+            "method.act_cfg.enc_layers=1",
+            "method.act_cfg.dec_layers=1",
+            "method.act_cfg.dim_feedforward=64",
+            "method.act_cfg.nheads=2",
+            "method.act_cfg.latent_dim=8",
+            "method.act_cfg.lang_dim=16",
+            "method.data_augmentation=false",
+        ]
+    )
+    assert (work / "latest.ckpt").exists()
+    assert (work / "config.yaml").exists()
+
+    logs = eval_act.main(
+        [
+            f"controller_ckpt={work}",
+            "task=fake_reach",
+            "env.factory=fake",
+            "env.image_size=32",
+            "episode_length=30",
+            "num_eval_episodes=1",
+            "execution_horizon=8",
+            "eval_type=latest",
+        ]
+    )
+    assert logs["results"]["total_episodes"] == 1
+
+
+def test_eval_genima_cli_with_tiny_diffusion(tmp_path):
+    from genima_tpu.cli import eval_genima, train_act
+
+    work = tmp_path / "ctrl"
+    train_act.main(
+        [
+            f"work_dir={work}",
+            "env.factory=fake",
+            "env.task=fake_reach",
+            "env.image_size=32",
+            "env.episode_length=20",
+            "num_train_epochs=1",
+            "checkpoint_every=1",
+            "num_demos=2",
+            "batch_size=4",
+            "action_sequence=6",
+            "method.image_size=32",
+            "+method.resnet_width=8",
+            "method.act_cfg.hidden_dim=32",
+            "method.act_cfg.enc_layers=1",
+            "method.act_cfg.dec_layers=1",
+            "method.act_cfg.dim_feedforward=64",
+            "method.act_cfg.nheads=2",
+            "method.act_cfg.latent_dim=8",
+            "method.act_cfg.lang_dim=16",
+            "method.data_augmentation=false",
+        ]
+    )
+    logs = eval_genima.main(
+        [
+            f"controller_ckpt={work}",
+            "task=fake_reach",
+            "env.factory=fake",
+            "env.image_size=32",
+            "episode_length=20",
+            "num_eval_episodes=1",
+            "execution_horizon=6",
+            "eval_type=latest",
+            "num_diffusion_steps=2",
+            "diffusion_agent._target_=genima_tpu.eval.agents.make_tiny_sd_agent",
+            "+diffusion_agent.resolution=64",
+            "enable_xformers_memory_efficient_attention=false",
+        ]
+    )
+    assert logs["results"]["total_episodes"] == 1
+    assert (work / "eval_genima_fake_reach.json").exists()
+    saved = json.loads((work / "eval_genima_fake_reach.json").read_text())
+    assert "results" in saved
+
+
+def test_render_data_cli(tmp_path):
+    import pickle
+
+    from genima_tpu.cli import render_data as render_cli
+
+    # synthetic RLBench tree (same as test_rendering but via the CLI)
+    src = tmp_path / "rb"
+    cams = ["wrist", "front", "right_shoulder", "left_shoulder"]
+    intr = np.array([[40.0, 0, 16], [0, 40.0, 16], [0, 0, 1]], np.float32)
+    ep_dir = src / "toy" / "variation0" / "episodes" / "episode0"
+    low_dim = []
+    for t in range(5):
+        gm = np.eye(4)
+        gm[:3, 3] = [0.02 * t, 0, 0.5]
+        obs = {
+            "gripper_matrix": gm,
+            "gripper_open": 1.0,
+            "misc": {
+                "joint_poses": {
+                    j: np.array([0.01 * j, 0, 0.4, 0, 0, 0, 1.0])
+                    for j in (1, 3, 5)
+                },
+            },
+        }
+        for cam in cams:
+            obs["misc"][f"{cam}_camera_intrinsics"] = intr
+            obs["misc"][f"{cam}_camera_extrinsics"] = np.eye(4)
+            d = ep_dir / f"{cam}_rgb"
+            d.mkdir(parents=True, exist_ok=True)
+            Image.fromarray(np.full((32, 32, 3), 90, np.uint8)).save(
+                d / f"{t}.png"
+            )
+        low_dim.append(obs)
+    with open(ep_dir / "low_dim_obs.pkl", "wb") as f:
+        pickle.dump(low_dim, f)
+
+    render_cli.main(
+        [
+            f"dataset_root={src}",
+            f"save_path={tmp_path}",
+            "task=toy",
+            "episodes=1",
+            "image_width=32",
+            "image_height=32",
+            "action_horizon=2",
+            "cameras=[wrist, front, right_shoulder, left_shoulder]",
+            "camera_scales=[3.0, 8.0, 6.5, 6.5]",
+            "textures_path=null",
+        ]
+    )
+    out = tmp_path / "rb_rgb_rendered" / "toy" / "variation0" / "episodes" / (
+        "episode0"
+    )
+    assert (out / "tiled_rgb_rendered" / "0.png").exists()
+
+
+def test_dataset_index_and_loader(tmp_path):
+    from genima_tpu.data.dataset import (
+        DiffusionDataLoader,
+        index_rendered_dataset,
+    )
+    from genima_tpu.data.tokenizer import HashTokenizer
+
+    data = _make_rendered_dataset(tmp_path, episodes=2, frames=6)
+    samples = index_rendered_dataset(data, tasks=["toy"], num_demos=2)
+    # drops the last frame: 5 per episode
+    assert len(samples) == 10
+    assert "tiled perspectives of a robot arm executing" in samples[0].text
+
+    # num_demos cap
+    assert len(index_rendered_dataset(data, tasks=["toy"], num_demos=1)) == 5
+
+    # predict_future pairs frame i with i+h
+    fut = index_rendered_dataset(
+        data, tasks=["toy"], num_demos=1, predict_future=True,
+        predict_future_horizon=2,
+    )
+    assert fut[0].image_path.endswith("2.png")
+    assert fut[0].conditioning_image_path.endswith("0.png")
+
+    loader = DiffusionDataLoader(
+        samples, HashTokenizer(), batch_size=4, resolution=16
+    )
+    batch = next(iter(loader))
+    assert batch["pixel_values"].shape == (4, 16, 16, 3)
+    assert batch["pixel_values"].min() >= -1 and batch["pixel_values"].max() <= 1
+    assert batch["conditioning_pixel_values"].min() >= 0
+    assert batch["input_ids"].shape == (4, 77)
+    assert len(loader) == 2  # 10 samples, batch 4, drop_last
