@@ -240,3 +240,15 @@ class FakeRLBenchFactory:
                 rewards=ep["rewards"],
                 lang_tokens=ep["lang_tokens"],
             )
+
+
+def make_vector_train_env(factory, num_envs: int = 2, **wrap_kwargs):
+    """Subprocess-vectorized train envs (the reference's
+    ``gym.vector.AsyncVectorEnv`` at ``rlbench.py:256-264``). BC training
+    doesn't step them, but the factory exposes the same surface."""
+    import gymnasium as gym
+
+    def _make():
+        return factory.make_eval_env(**wrap_kwargs)
+
+    return gym.vector.AsyncVectorEnv([_make for _ in range(num_envs)])
