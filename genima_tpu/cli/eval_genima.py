@@ -89,6 +89,7 @@ def main(argv=None, with_diffusion: bool = True):
         node.setdefault("guidance_scale", eval_cfg.get("guidance_scale", 0.0))
         node.setdefault("seed", eval_cfg.get("diffusion_seed", 2))
         node.setdefault("tokenizer_merges", eval_cfg.get("tokenizer_merges"))
+        node.setdefault("autoencoder", eval_cfg.get("autoencoder", ""))
         node.setdefault(
             "backend",
             "pallas"

@@ -51,6 +51,9 @@ class SDControlNetPipeline:
     scheduler: Any = dataclasses.field(default_factory=EulerDiscreteScheduler)
     dtype: Any = jnp.bfloat16
     backend: str = "xla"
+    # the reference's taesd fast-VAE knob (sd_controlnet_agent.py:44-49):
+    # decode generated latents with the distilled AutoencoderTiny
+    use_tiny_vae: bool = False
 
     def __post_init__(self):
         self.unet = UNet2DConditionModel(self.unet_cfg, dtype=self.dtype,
@@ -65,8 +68,29 @@ class SDControlNetPipeline:
             backend=self.backend,
         )
         self.vae = AutoencoderKL(self.vae_cfg, dtype=self.dtype)
+        if self.use_tiny_vae:
+            from genima_tpu.nn.vae import AutoencoderTiny
+
+            self.tiny_vae = AutoencoderTiny(
+                dtype=self.dtype,
+                n_levels=len(self.vae_cfg.block_out_channels) - 1,
+            )
         self.text_encoder = CLIPTextModel(self.text_cfg, dtype=self.dtype)
         self._encode_prompt = jax.jit(self._encode_prompt_impl)
+
+    def _decode_latents(self, params: dict, sample: jax.Array) -> jax.Array:
+        """Scaled latents -> image in [-1, 1]; taesd consumes scaled latents
+        directly (diffusers AutoencoderTiny convention)."""
+        if self.use_tiny_vae:
+            return self.tiny_vae.apply(
+                {"params": params["tiny_vae"]}, sample.astype(self.dtype),
+                method=self.tiny_vae.decode,
+            ).astype(jnp.float32)
+        return self.vae.apply(
+            {"params": params["vae"]},
+            (sample / self.vae_cfg.scaling_factor).astype(self.dtype),
+            method=self.vae.decode,
+        ).astype(jnp.float32)
 
     # -- prompt encoding (per-episode constant in the Genima closed loop) ----
 
@@ -163,11 +187,7 @@ class SDControlNetPipeline:
 
         sample = jax.lax.fori_loop(0, num_inference_steps, body, sample.astype(jnp.float32))
 
-        image = self.vae.apply(
-            {"params": params["vae"]},
-            (sample / self.vae_cfg.scaling_factor).astype(self.dtype),
-            method=self.vae.decode,
-        ).astype(jnp.float32)
+        image = self._decode_latents(params, sample)
         if return_uint8:
             return denormalize_to_uint8(image)
         return image
@@ -193,18 +213,24 @@ class SDControlNetPipeline:
         ctx = jnp.zeros((1, 77, self.text_cfg.hidden_size))
         cond = jnp.zeros((1, image_size, image_size, 3))
         ids = jnp.zeros((1, 77), jnp.int32)
+        tiny_p = None
+        if self.use_tiny_vae:
+            tiny_p = fast_init(self.tiny_vae, k3, cond, seed=7)["params"]
         if fast:
             unet_p = fast_init(self.unet, k1, lat, t, ctx, seed=1)["params"]
             cn_p = fast_init(self.controlnet, k2, lat, t, ctx, cond, seed=2)["params"]
             cn_p["controlnet_cond_embedding"]["conv_out"] = jax.tree_util.tree_map(
                 jnp.zeros_like, cn_p["controlnet_cond_embedding"]["conv_out"]
             )
-            return {
+            out = {
                 "unet": unet_p,
                 "controlnet": cn_p,
                 "vae": fast_init(self.vae, k3, cond, k4, seed=3)["params"],
                 "text_encoder": fast_init(self.text_encoder, k4, ids, seed=4)["params"],
             }
+            if tiny_p is not None:
+                out["tiny_vae"] = tiny_p
+            return out
         return {
             "unet": self.unet.init(k1, lat, t, ctx)["params"],
             "controlnet": self.controlnet.init(k2, lat, t, ctx, cond)["params"],
@@ -309,11 +335,7 @@ class SDXLControlNetPipeline(SDControlNetPipeline):
         sample, _ = jax.lax.fori_loop(
             0, num_inference_steps, body, (sample.astype(jnp.float32), key)
         )
-        image = self.vae.apply(
-            {"params": params["vae"]},
-            (sample / self.vae_cfg.scaling_factor).astype(self.dtype),
-            method=self.vae.decode,
-        ).astype(jnp.float32)
+        image = self._decode_latents(params, sample)
         if return_uint8:
             return denormalize_to_uint8(image)
         return image
@@ -355,6 +377,13 @@ class SDPix2PixPipeline(SDControlNetPipeline):
         self.unet = UNet2DConditionModel(self.unet_cfg, dtype=self.dtype,
                                          backend=self.backend)
         self.vae = AutoencoderKL(self.vae_cfg, dtype=self.dtype)
+        if self.use_tiny_vae:
+            from genima_tpu.nn.vae import AutoencoderTiny
+
+            self.tiny_vae = AutoencoderTiny(
+                dtype=self.dtype,
+                n_levels=len(self.vae_cfg.block_out_channels) - 1,
+            )
         self.text_encoder = CLIPTextModel(self.text_cfg, dtype=self.dtype)
         self._encode_prompt = jax.jit(self._encode_prompt_impl)
 
@@ -393,11 +422,7 @@ class SDPix2PixPipeline(SDControlNetPipeline):
         sample = jax.lax.fori_loop(
             0, num_inference_steps, body, sample.astype(jnp.float32)
         )
-        image = self.vae.apply(
-            {"params": params["vae"]},
-            (sample / self.vae_cfg.scaling_factor).astype(self.dtype),
-            method=self.vae.decode,
-        ).astype(jnp.float32)
+        image = self._decode_latents(params, sample)
         if return_uint8:
             return denormalize_to_uint8(image)
         return image

@@ -47,6 +47,7 @@ class DiffusionAgent:
     num_inference_steps: int = 5
     guidance_scale: float = 0.0
     seed: int = 2  # reference eval_genima.yaml diffusion_seed
+    autoencoder: str = ""  # 'taesd' for the tiny fast VAE (reference knob)
     pipe: Any = None  # inject a preconfigured pipeline (tests use tiny configs)
 
     def __post_init__(self):
@@ -122,7 +123,10 @@ class SDControlNetAgent(DiffusionAgent):
     ``controller/agent/sd_controlnet_agent.py``)."""
 
     def _build_pipeline(self):
-        return SDControlNetPipeline(dtype=self.dtype, backend=self.backend)
+        return SDControlNetPipeline(
+            dtype=self.dtype, backend=self.backend,
+            use_tiny_vae=self.autoencoder == "taesd",
+        )
 
     def infer(self, images, prompts, negative_prompts=None,
               num_inference_steps=None, guidance_scale=None):
@@ -150,7 +154,10 @@ class SDXLControlNetAgent(DiffusionAgent):
     """SDXL-turbo + ControlNet (``controller/agent/sdxl_controlnet_agent.py``)."""
 
     def _build_pipeline(self):
-        return SDXLControlNetPipeline(dtype=self.dtype, backend=self.backend)
+        return SDXLControlNetPipeline(
+            dtype=self.dtype, backend=self.backend,
+            use_tiny_vae=self.autoencoder == "taesd",
+        )
 
     def infer(self, images, prompts, negative_prompts=None,
               num_inference_steps=None, guidance_scale=None):
@@ -172,7 +179,10 @@ class SDPix2PixAgent(DiffusionAgent):
     fine-tuned UNet is the submodel; conditioning image in [-1, 1]."""
 
     def _build_pipeline(self):
-        return SDPix2PixPipeline(dtype=self.dtype, backend=self.backend)
+        return SDPix2PixPipeline(
+            dtype=self.dtype, backend=self.backend,
+            use_tiny_vae=self.autoencoder == "taesd",
+        )
 
     def _model_subdir(self) -> str:
         return "unet"

@@ -59,10 +59,12 @@ class VAEAttention(nn.Module):
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(y)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(y)
         v = nn.Dense(c, dtype=self.dtype, name="to_v")(y)
-        attn = jax.nn.softmax(
-            jnp.einsum("bqc,bkc->bqk", q, k) / jnp.sqrt(c).astype(q.dtype), axis=-1
-        )
-        y = jnp.einsum("bqk,bkc->bqc", attn, v)
+        # fused attention: at 64x64 latents this is a 4096-token single-head
+        # attention with 512-dim values — materializing the score matrix
+        # spills to HBM and dominates the decode latency
+        y = jax.nn.dot_product_attention(
+            q[:, :, None, :], k[:, :, None, :], v[:, :, None, :]
+        )[:, :, 0, :]
         y = nn.Dense(c, dtype=self.dtype, name="to_out_0")(y)
         return residual + y.reshape(b, h, w, c)
 
