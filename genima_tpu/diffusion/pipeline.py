@@ -147,6 +147,10 @@ class SDControlNetPipeline:
         state = self.scheduler.set_timesteps(num_inference_steps)
         do_cfg = guidance_scale > 1.0 and negative_prompt_embeds is not None
 
+        # accept uint8 observations: the host->device transfer then moves 1
+        # byte/px instead of 4 (the closed-loop h2d is on the latency path)
+        if cond_image.dtype == jnp.uint8:
+            cond_image = cond_image.astype(self.dtype) / 255.0
         cond = cond_image.astype(self.dtype)
         embeds = prompt_embeds.astype(self.dtype)
         if do_cfg:
@@ -298,6 +302,8 @@ class SDXLControlNetPipeline(SDControlNetPipeline):
     ) -> jax.Array:
         """Turbo sampling (no CFG) with EulerAncestral noise injection."""
         state = self.scheduler.set_timesteps(num_inference_steps)
+        if cond_image.dtype == jnp.uint8:
+            cond_image = cond_image.astype(self.dtype) / 255.0
         cond = cond_image.astype(self.dtype)
         embeds = prompt_embeds.astype(self.dtype)
         added = {
@@ -398,6 +404,8 @@ class SDPix2PixPipeline(SDControlNetPipeline):
         return_uint8: bool = True,
     ) -> jax.Array:
         state = self.scheduler.set_timesteps(num_inference_steps)
+        if cond_image.dtype == jnp.uint8:
+            cond_image = cond_image.astype(self.dtype) / 127.5 - 1.0
         embeds = prompt_embeds.astype(self.dtype)
         # conditioning latents via VAE mode (no sampling), no scaling_factor
         # (diffusers pix2pix convention: prepare_image_latents uses .mode())

@@ -134,7 +134,9 @@ class SDControlNetAgent(DiffusionAgent):
         guidance = (
             guidance_scale if guidance_scale is not None else self.guidance_scale
         )
-        cond = jnp.asarray(images, jnp.float32) / 255.0
+        cond = jnp.asarray(images)  # uint8 travels 4x lighter to the device
+        if cond.dtype != jnp.uint8:
+            cond = cond.astype(jnp.float32) / 255.0
         embeds = self._embed_prompts(prompts)
         neg = None
         if guidance > 1.0 and negative_prompts:
@@ -162,7 +164,9 @@ class SDXLControlNetAgent(DiffusionAgent):
     def infer(self, images, prompts, negative_prompts=None,
               num_inference_steps=None, guidance_scale=None):
         steps = num_inference_steps or self.num_inference_steps
-        cond = jnp.asarray(images, jnp.float32) / 255.0
+        cond = jnp.asarray(images)
+        if cond.dtype != jnp.uint8:
+            cond = cond.astype(jnp.float32) / 255.0
         embeds, pooled = self._embed_prompts(prompts)
         latents = self._next_latents(cond.shape[0])
         self._episode_key, sub = jax.random.split(self._episode_key)
@@ -190,7 +194,9 @@ class SDPix2PixAgent(DiffusionAgent):
     def infer(self, images, prompts, negative_prompts=None,
               num_inference_steps=None, guidance_scale=None):
         steps = num_inference_steps or self.num_inference_steps
-        cond = jnp.asarray(images, jnp.float32) / 127.5 - 1.0
+        cond = jnp.asarray(images)
+        if cond.dtype != jnp.uint8:
+            cond = cond.astype(jnp.float32) / 127.5 - 1.0
         embeds = self._embed_prompts(prompts)
         latents = self._next_latents(cond.shape[0])
         out = self.pipe.generate(

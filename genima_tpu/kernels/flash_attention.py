@@ -40,8 +40,8 @@ def _flash_kernel(
     q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, sm_scale, kv_len,
     block_k,
 ):
-    ki = pl.program_id(2)
-    nk = pl.num_programs(2)
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
 
     @pl.when(ki == 0)
     def _init():
@@ -108,7 +108,8 @@ def _flash_forward(
         v = jnp.pad(v, ((0, 0), (0, pad_k), (0, 0), (0, 0)))
     sq_p, sk_p = q.shape[1], k.shape[1]
 
-    grid = (b * h, sq_p // block_q, sk_p // block_k)
+    # 4D grid (no arithmetic in index maps — Mosaic requires affine maps)
+    grid = (b, h, sq_p // block_q, sk_p // block_k)
     kernel = functools.partial(
         _flash_kernel, sm_scale=sm_scale, kv_len=sk, block_k=block_k
     )
@@ -119,11 +120,11 @@ def _flash_forward(
         pltpu.VMEM((block_q, _LANES), jnp.float32),
     ]
 
-    def q_index(bh, qi, ki):
-        return (bh // h, qi, bh % h, 0)
+    def q_index(bi, hi, qi, ki):
+        return (bi, qi, hi, 0)
 
-    def kv_index(bh, qi, ki):
-        return (bh // h, ki, bh % h, 0)
+    def kv_index(bi, hi, qi, ki):
+        return (bi, ki, hi, 0)
 
     out = pl.pallas_call(
         kernel,
