@@ -40,8 +40,8 @@ def _flash_kernel(
     q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, sm_scale, kv_len,
     block_k,
 ):
-    ki = pl.program_id(3)
-    nk = pl.num_programs(3)
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
 
     @pl.when(ki == 0)
     def _init():
@@ -49,9 +49,9 @@ def _flash_kernel(
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    q = q_ref[0, :, 0, :]  # (block_q, d)
-    k = k_ref[0, :, 0, :]  # (block_k, d)
-    v = v_ref[0, :, 0, :]
+    q = q_ref[0]  # (block_q, d)
+    k = k_ref[0]  # (block_k, d)
+    v = v_ref[0]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -81,17 +81,18 @@ def _flash_kernel(
 
     @pl.when(ki == nk - 1)
     def _finalize():
-        o_ref[0, :, 0, :] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+        o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
 
 
 def _flash_forward(
     q: jax.Array, k: jax.Array, v: jax.Array, block_q: int, block_k: int,
     interpret: bool,
 ) -> jax.Array:
-    """q: (B, Sq, H, D); k/v: (B, Sk, H, D) — native layout, no transposes
-    (the head axis is a grid dimension, so the kernel composes with the
-    surrounding projections without materialized copies)."""
-    b, sq, h, d = q.shape
+    """q: (BH, Sq, D); k/v: (BH, Sk, D). TPU block tiling requires the last
+    two block dims aligned (8, 128) or full — the head axis therefore folds
+    into the batch grid axis, with one transpose at the boundary (XLA fuses
+    it into the surrounding projection matmuls)."""
+    bh, sq, d = q.shape
     sk = k.shape[1]
     block_q = min(block_q, sq)
     block_k = min(block_k, sk)
@@ -102,14 +103,13 @@ def _flash_forward(
     pad_q = (-sq) % block_q
     pad_k = (-sk) % block_k
     if pad_q:
-        q = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0), (0, 0)))
+        q = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0)))
     if pad_k:
-        k = jnp.pad(k, ((0, 0), (0, pad_k), (0, 0), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, pad_k), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, pad_k), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad_k), (0, 0)))
     sq_p, sk_p = q.shape[1], k.shape[1]
 
-    # 4D grid (no arithmetic in index maps — Mosaic requires affine maps)
-    grid = (b, h, sq_p // block_q, sk_p // block_k)
+    grid = (bh, sq_p // block_q, sk_p // block_k)
     kernel = functools.partial(
         _flash_kernel, sm_scale=sm_scale, kv_len=sk, block_k=block_k
     )
@@ -120,22 +120,22 @@ def _flash_forward(
         pltpu.VMEM((block_q, _LANES), jnp.float32),
     ]
 
-    def q_index(bi, hi, qi, ki):
-        return (bi, qi, hi, 0)
+    def q_index(bi, qi, ki):
+        return (bi, qi, 0)
 
-    def kv_index(bi, hi, qi, ki):
-        return (bi, ki, hi, 0)
+    def kv_index(bi, qi, ki):
+        return (bi, ki, 0)
 
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, 1, d), q_index, **kwargs),
-            pl.BlockSpec((1, block_k, 1, d), kv_index, **kwargs),
-            pl.BlockSpec((1, block_k, 1, d), kv_index, **kwargs),
+            pl.BlockSpec((1, block_q, d), q_index, **kwargs),
+            pl.BlockSpec((1, block_k, d), kv_index, **kwargs),
+            pl.BlockSpec((1, block_k, d), kv_index, **kwargs),
         ],
-        out_specs=pl.BlockSpec((1, block_q, 1, d), q_index, **kwargs),
-        out_shape=jax.ShapeDtypeStruct((b, sq_p, h, d), q.dtype),
+        out_specs=pl.BlockSpec((1, block_q, d), q_index, **kwargs),
+        out_shape=jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
         scratch_shapes=scratch,
         interpret=interpret,
     )(q, k, v)
@@ -155,7 +155,14 @@ def _flash_bwd(block_q, block_k, interpret, res, g):
     """Backward through the XLA reference implementation (exact gradients;
     the inference path is the latency target)."""
     q, k, v = res
-    _, vjp = jax.vjp(jax.nn.dot_product_attention, q, k, v)
+
+    def ref(q, k, v):
+        out = jax.nn.dot_product_attention(
+            q[:, :, None, :], k[:, :, None, :], v[:, :, None, :]
+        )
+        return out[:, :, 0, :]
+
+    _, vjp = jax.vjp(ref, q, k, v)
     return vjp(g)
 
 
@@ -177,4 +184,10 @@ def flash_attention(
     interpret = not on_tpu
     if not _HAS_PLTPU:
         return _xla_attention(q, k, v)
-    return _flash(q, k, v, block_q, block_k, interpret)
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    qf = q.transpose(0, 2, 1, 3).reshape(b * h, sq, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
+    out = _flash(qf, kf, vf, block_q, block_k, interpret)
+    return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
