@@ -148,6 +148,7 @@ class DiffusionDataLoader:
         num_workers: int = 8,
         drop_last: bool = True,
         proportion_empty_prompts: float = 0.0,
+        use_native: bool | None = None,
     ):
         self.samples = samples
         self.tokenizer = tokenizer
@@ -158,12 +159,44 @@ class DiffusionDataLoader:
         self.proportion_empty_prompts = proportion_empty_prompts
         self._rng = np.random.RandomState(seed)
         self._pool = ThreadPoolExecutor(max_workers=num_workers)
+        self.num_workers = num_workers
+        if use_native is None:
+            # the C++ decoder wins through threading; single-core hosts are
+            # better served by PIL's SIMD decode
+            import os
+
+            use_native = (os.cpu_count() or 1) >= 4
+        self.use_native = use_native
 
     def __len__(self) -> int:
         n = len(self.samples) // self.batch_size
         if not self.drop_last and len(self.samples) % self.batch_size:
             n += 1
         return n
+
+    def _load_batch_native(self, batch_samples):
+        """Threaded C++ decode path (genima_tpu.native); None -> PIL fallback."""
+        from genima_tpu.native import decode_png_batch
+
+        try:
+            img_bytes = [
+                open(s.image_path, "rb").read() for s in batch_samples
+            ]
+            cond_bytes = [
+                open(s.conditioning_image_path, "rb").read()
+                for s in batch_samples
+            ]
+        except OSError:
+            return None
+        pixels = decode_png_batch(
+            img_bytes, self.resolution, mode=1, n_threads=self.num_workers
+        )
+        conds = decode_png_batch(
+            cond_bytes, self.resolution, mode=0, n_threads=self.num_workers
+        )
+        if pixels is None or conds is None:
+            return None
+        return list(zip(pixels, conds))
 
     def _load_one(self, sample: Sample) -> tuple[np.ndarray, np.ndarray]:
         img = _resize_center_crop(
@@ -186,7 +219,11 @@ class DiffusionDataLoader:
             if self.drop_last and len(idx) < self.batch_size:
                 return
             batch_samples = [self.samples[i] for i in idx]
-            decoded = list(self._pool.map(self._load_one, batch_samples))
+            decoded = None
+            if self.use_native:
+                decoded = self._load_batch_native(batch_samples)
+            if decoded is None:
+                decoded = list(self._pool.map(self._load_one, batch_samples))
             texts = [
                 ""
                 if self._rng.rand() < self.proportion_empty_prompts

@@ -1,0 +1,94 @@
+"""Native (C++) host-side runtime pieces, loaded via ctypes.
+
+``image_ops``: threaded PNG decode + resize/center-crop + normalize for the
+diffusion data loader (the native-runtime role torch's C++ DataLoader plays
+in the reference). Auto-builds with g++ on first use (cached .so next to the
+source); every consumer falls back to the PIL path when unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_DIR = Path(__file__).parent
+_SO = _DIR / "_image_ops.so"
+_SRC = _DIR / "image_ops.cpp"
+
+_lib = None
+_load_attempted = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            [
+                "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                str(_SRC), "-o", str(_SO), "-lpng", "-lz", "-pthread",
+            ],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    """The loaded C library, or None when native ops are unavailable."""
+    global _lib, _load_attempted
+    if _lib is not None or _load_attempted:
+        return _lib
+    _load_attempted = True
+    if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(str(_SO))
+        lib.genima_decode_batch.restype = ctypes.c_int
+        lib.genima_decode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_ulong),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int,
+        ]
+        _lib = lib
+    except OSError:
+        _lib = None
+    return _lib
+
+
+def decode_png_batch(
+    png_bytes: list[bytes], resolution: int, mode: int, n_threads: int = 8
+) -> np.ndarray | None:
+    """(N,) png byte strings -> (N, res, res, 3) float32 NHWC; None if the
+    native library is unavailable or any decode failed (caller falls back).
+
+    mode 0 -> [0,1] (conditioning image); mode 1 -> [-1,1] (target image).
+    """
+    lib = get_lib()
+    if lib is None or not png_bytes:
+        return None
+    n = len(png_bytes)
+    out = np.empty((n, resolution, resolution, 3), np.float32)
+    buf_ptrs = (ctypes.c_char_p * n)(*png_bytes)
+    sizes = (ctypes.c_ulong * n)(*[len(b) for b in png_bytes])
+    failed = lib.genima_decode_batch(
+        ctypes.cast(buf_ptrs, ctypes.POINTER(ctypes.c_char_p)),
+        sizes,
+        n,
+        resolution,
+        mode,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n_threads,
+    )
+    if failed:
+        return None
+    return out
