@@ -17,9 +17,19 @@ Rebuilds the reference's demo plumbing
 from __future__ import annotations
 
 import dataclasses
+import enum
 from typing import List
 
 import numpy as np
+
+
+class ActionModeType(enum.Enum):
+    """Reference robobase enum (``rlbench_utils.py:164-215``): Genima uses
+    absolute JOINT_POSITION; END_EFFECTOR_POSE exists but demo rescaling for
+    it is unimplemented in the reference too (``rlbench.py:327-330``)."""
+
+    JOINT_POSITION = "JOINT_POSITION"
+    END_EFFECTOR_POSE = "END_EFFECTOR_POSE"
 
 
 @dataclasses.dataclass

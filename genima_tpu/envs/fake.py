@@ -208,7 +208,8 @@ class FakeRLBenchFactory:
 
     def make_eval_env(self, *, episode_length=None, frame_stack=1,
                       action_sequence=20, stats_path=None,
-                      action_stats=None, proprio_stats=None):
+                      action_stats=None, proprio_stats=None,
+                      use_onehot_time=False):
         from genima_tpu.envs.wrappers import wrap_env
 
         env = self.make_env()
@@ -222,6 +223,7 @@ class FakeRLBenchFactory:
                 proprio_stats if proprio_stats is not None else self.proprio_stats
             ),
             stats_path=stats_path,
+            use_onehot_time=use_onehot_time,
         )
 
     def load_demos_into_replay(self, buffer, cameras=CAMERAS, lang_tokens=None):

@@ -269,7 +269,8 @@ class GenimaRLBenchFactory:
 
     def make_eval_env(self, *, episode_length=200, frame_stack=1,
                       action_sequence=20, stats_path=None,
-                      action_stats=None, proprio_stats=None):
+                      action_stats=None, proprio_stats=None,
+                      use_onehot_time=False):
         from genima_tpu.envs.wrappers import wrap_env
 
         env = self.make_env()
@@ -281,6 +282,7 @@ class GenimaRLBenchFactory:
             action_stats=action_stats or self.action_stats,
             proprio_stats=proprio_stats or self.proprio_stats,
             stats_path=stats_path,
+            use_onehot_time=use_onehot_time,
         )
 
     def load_demos_into_replay(self, buffer, cameras=None, lang_tokens=None):

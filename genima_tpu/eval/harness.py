@@ -157,8 +157,18 @@ class GenimaEvalWorkspace:
                 while not termination:
                     if self.diffusion_agent is not None:
                         t0 = time.time()
-                        ctrl_obs, _ = self._generate_targets(obs, goal, fs)
+                        ctrl_obs, gen_tiles = self._generate_targets(
+                            obs, goal, fs
+                        )
                         timings["gen_time"].append(time.time() - t0)
+                        # [Debug] save input/generated tiles
+                        # (reference eval_genima.py:188-222)
+                        if cfg.get("save_gen_image") or cfg.get(
+                            "save_input_image"
+                        ):
+                            self._save_debug_images(
+                                obs, gen_tiles, global_episode, episode_step
+                            )
                     else:
                         ctrl_obs = obs
 
@@ -266,6 +276,30 @@ class GenimaEvalWorkspace:
                     env = env.env
             out[k] = np.stack([v] * fs)
         return out
+
+    def _save_debug_images(self, obs, gen_tiles, episode, step) -> None:
+        from PIL import Image
+
+        from genima_tpu.data.tiling import tile_images
+
+        out = Path(self.eval_cfg.get("save_image_path", "/tmp"))
+        out.mkdir(parents=True, exist_ok=True)
+        fs = gen_tiles.shape[0]
+        for t in range(fs):
+            if self.eval_cfg.get("save_input_image"):
+                views = np.stack(
+                    [
+                        np.transpose(obs[f"{cam}_rgb"][t], (1, 2, 0))
+                        for cam in self.cameras
+                    ]
+                ).astype(np.uint8)
+                Image.fromarray(np.asarray(tile_images(views))).save(
+                    out / f"input_ep{episode}_step{step}_frame{t}.png"
+                )
+            if self.eval_cfg.get("save_gen_image"):
+                Image.fromarray(gen_tiles[t]).save(
+                    out / f"gen_target_ep{episode}_step{step}_frame{t}.png"
+                )
 
     def _lang_tokens(self, goal: str, obs) -> np.ndarray:
         if "lang_tokens" in obs and np.any(obs["lang_tokens"]):
