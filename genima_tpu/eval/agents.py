@@ -128,8 +128,11 @@ class SDControlNetAgent(DiffusionAgent):
             use_tiny_vae=self.autoencoder == "taesd",
         )
 
-    def infer(self, images, prompts, negative_prompts=None,
-              num_inference_steps=None, guidance_scale=None):
+    def infer_device(self, images, prompts, negative_prompts=None,
+                     num_inference_steps=None, guidance_scale=None):
+        """Like infer() but returns the device array — the closed loop keeps
+        generated targets on-device between the diffusion and ACT stages
+        (a single host->device transfer per control step)."""
         steps = num_inference_steps or self.num_inference_steps
         guidance = (
             guidance_scale if guidance_scale is not None else self.guidance_scale
@@ -142,13 +145,21 @@ class SDControlNetAgent(DiffusionAgent):
         if guidance > 1.0 and negative_prompts:
             neg = self._embed_prompts(negative_prompts)
         latents = self._next_latents(cond.shape[0])
-        out = self.pipe.generate(
+        return self.pipe.generate(
             self.params, cond, embeds, latents,
             num_inference_steps=steps,
             guidance_scale=float(guidance),
             negative_prompt_embeds=neg,
         )
-        return np.asarray(out)
+
+    def infer(self, images, prompts, negative_prompts=None,
+              num_inference_steps=None, guidance_scale=None):
+        return np.asarray(
+            self.infer_device(
+                images, prompts, negative_prompts, num_inference_steps,
+                guidance_scale,
+            )
+        )
 
 
 @dataclasses.dataclass(eq=False)

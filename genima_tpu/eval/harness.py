@@ -20,6 +20,8 @@ from pathlib import Path
 
 import numpy as np
 
+import jax.numpy as jnp
+
 from genima_tpu.core import checkpoint as ckpt
 from genima_tpu.data.tiling import tile_images, untile_to_cameras
 from genima_tpu.eval.video import VideoRecorder
@@ -79,6 +81,57 @@ class GenimaEvalWorkspace:
         qpos = obs["low_dim_state"].reshape(1, -1).astype(np.float32)
         actions = self.controller_agent.act(
             self.controller_params, images, qpos, lang_tokens
+        )
+        return np.asarray(actions[0])
+
+    def _tile_obs(self, obs, fs: int) -> np.ndarray:
+        frames = []
+        for t in range(fs):
+            views = np.stack(
+                [
+                    np.transpose(obs[f"{cam}_rgb"][t], (1, 2, 0))
+                    for cam in self.cameras
+                ]
+            ).astype(np.uint8)
+            frames.append(np.asarray(tile_images(views)))
+        return np.stack(frames)  # (fs, 512, 512, 3) uint8
+
+    def _prompts(self, goal: str, fs: int):
+        prompts = [
+            f"tiled perspectives of a robot arm executing '{goal}'"
+        ] * fs
+        negative = [
+            "monochrome, lowres, bad anatomy, worst quality, low quality"
+        ] * fs
+        return prompts, negative
+
+    def _generate_targets_device(self, obs, goal: str, fs: int):
+        """Device-resident fast path (SURVEY.md §7 "host<->device boundary"):
+        the generated target never round-trips to host — untile and the ACT
+        input assembly happen on device; one uint8 upload per step."""
+        tiled = self._tile_obs(obs, fs)
+        prompts, negative = self._prompts(goal, fs)
+        target = self.diffusion_agent.infer_device(
+            tiled,
+            prompts,
+            negative,
+            num_inference_steps=self.eval_cfg.get("num_diffusion_steps", 5),
+            guidance_scale=self.eval_cfg.get("guidance_scale", 0.0),
+        )  # (fs, 512, 512, 3) uint8 on device
+        obs_size = obs[f"{self.cameras[0]}_rgb"].shape[-1]
+        cams = untile_to_cameras(
+            target.astype(jnp.float32), target_size=obs_size
+        )  # (fs, 4, h, w, 3)
+        # camera-major view order matching the numpy path
+        act_images = jnp.transpose(cams, (1, 0, 2, 3, 4)).reshape(
+            1, -1, obs_size, obs_size, 3
+        )
+        return act_images, target
+
+    def _controller_act_device(self, act_images, obs, lang_tokens):
+        qpos = obs["low_dim_state"].reshape(1, -1).astype(np.float32)
+        actions = self.controller_agent.act(
+            self.controller_params, act_images, qpos, lang_tokens
         )
         return np.asarray(actions[0])
 
@@ -155,11 +208,18 @@ class GenimaEvalWorkspace:
                 fs = obs[f"{self.cameras[0]}_rgb"].shape[0]
 
                 while not termination:
+                    act_images_dev = None
                     if self.diffusion_agent is not None:
                         t0 = time.time()
-                        ctrl_obs, gen_tiles = self._generate_targets(
-                            obs, goal, fs
-                        )
+                        if hasattr(self.diffusion_agent, "infer_device"):
+                            act_images_dev, gen_dev = (
+                                self._generate_targets_device(obs, goal, fs)
+                            )
+                            ctrl_obs = obs
+                        else:
+                            ctrl_obs, gen_dev = self._generate_targets(
+                                obs, goal, fs
+                            )
                         timings["gen_time"].append(time.time() - t0)
                         # [Debug] save input/generated tiles
                         # (reference eval_genima.py:188-222)
@@ -167,13 +227,19 @@ class GenimaEvalWorkspace:
                             "save_input_image"
                         ):
                             self._save_debug_images(
-                                obs, gen_tiles, global_episode, episode_step
+                                obs, np.asarray(gen_dev), global_episode,
+                                episode_step,
                             )
                     else:
                         ctrl_obs = obs
 
                     t0 = time.time()
-                    actions = self._controller_act(ctrl_obs, lang_tokens)
+                    if act_images_dev is not None:
+                        actions = self._controller_act_device(
+                            act_images_dev, ctrl_obs, lang_tokens
+                        )
+                    else:
+                        actions = self._controller_act(ctrl_obs, lang_tokens)
                     timings["control_time"].append(time.time() - t0)
 
                     actions = actions[:execution_horizon]
