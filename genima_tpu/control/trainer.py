@@ -51,6 +51,16 @@ class ControllerWorkspace:
         demos = factory.collect_or_fetch_demos(num_demos)
         assert len(demos) > 0, "no demonstrations collected"
 
+        # language conditioning: tokenize the task description into the
+        # demos' lang_tokens (reference rlbench_utils.py:156-157)
+        from genima_tpu.data.tokenizer import load_tokenizer
+
+        tokenizer = load_tokenizer(cfg.get("tokenizer_merges"))
+        desc = demos[0][0].misc.get("descriptions", "")
+        if isinstance(desc, (list, tuple)):
+            desc = desc[0] if desc else ""
+        lang_tokens = tokenizer([str(desc)])[0].astype(np.int32)
+
         # eval env created once to persist stats JSON + validate spaces
         env = factory.make_eval_env(
             frame_stack=cfg.get("frame_stack", 1),
@@ -67,7 +77,7 @@ class ControllerWorkspace:
             # sharded batches must divide the mesh; drop ragged tails
             drop_last=mesh is not None,
         )
-        factory.load_demos_into_replay(self.replay)
+        factory.load_demos_into_replay(self.replay, lang_tokens=lang_tokens)
 
         params, clip_params = agent.init_params(jax.random.key(cfg.get("seed", 0)))
         self.state = agent.create_state(params, clip_params)
