@@ -1,0 +1,118 @@
+"""Diffusion trainer variants: SDXL ControlNet and InstructPix2Pix."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from genima_tpu.diffusion.pipeline import SDPix2PixPipeline, SDXLControlNetPipeline
+from genima_tpu.diffusion.training import (
+    Pix2PixTrainer,
+    SDXLControlNetTrainer,
+    TrainConfig,
+    make_lr_schedule,
+)
+from genima_tpu.nn.clip_text import CLIPTextConfig
+from genima_tpu.nn.unet import UNetConfig
+from genima_tpu.nn.vae import VAEConfig
+
+
+def _batch(bsz=2, size=16):
+    rng = np.random.RandomState(0)
+    return {
+        "pixel_values": jnp.asarray(
+            rng.uniform(-1, 1, (bsz, size, size, 3)).astype(np.float32)
+        ),
+        "conditioning_pixel_values": jnp.asarray(
+            rng.uniform(0, 1, (bsz, size, size, 3)).astype(np.float32)
+        ),
+        "input_ids": jnp.zeros((bsz, 77), jnp.int32),
+    }
+
+
+def test_sdxl_trainer_step():
+    pipe = SDXLControlNetPipeline(
+        unet_cfg=UNetConfig.tiny(
+            addition_embed_type="text_time", addition_time_embed_dim=8,
+            cross_attention_dim=48,
+        ),
+        vae_cfg=VAEConfig.tiny_test(scaling_factor=0.13025),
+        text_cfg=CLIPTextConfig.tiny(hidden_size=16, num_heads=2),
+        text_cfg_2=CLIPTextConfig.tiny(hidden_size=32, projection_dim=16),
+        dtype=jnp.float32,
+    )
+    params = pipe.init_params(jax.random.key(0), image_size=16)
+    trainer = SDXLControlNetTrainer(
+        pipe, TrainConfig(learning_rate=1e-4), resolution=16
+    )
+    state = trainer.create_state(params)
+    before = np.asarray(
+        jax.tree_util.tree_leaves(state.params)[0]
+    ).copy()
+    for i in range(2):
+        state, m = trainer.train_step(state, _batch(), jax.random.key(i))
+    assert np.isfinite(float(m["loss"]))
+    after = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    # controlnet trains; frozen unet untouched
+    assert not np.array_equal(before, after)
+    assert "unet" in trainer._frozen and "text_encoder_2" in trainer._frozen
+
+
+def test_pix2pix_trainer_step_with_dropout_and_ema():
+    pipe = SDPix2PixPipeline(
+        unet_cfg=UNetConfig.tiny(in_channels=8),
+        vae_cfg=VAEConfig.tiny_test(),
+        text_cfg=CLIPTextConfig.tiny(),
+        dtype=jnp.float32,
+    )
+    params = pipe.init_params(jax.random.key(1), image_size=16)
+    trainer = Pix2PixTrainer(
+        pipe,
+        TrainConfig(learning_rate=1e-4),
+        conditioning_dropout_prob=0.3,
+        use_ema=True,
+        ema_decay=0.5,
+    )
+    state = trainer.create_state(params)
+    p0 = jax.tree_util.tree_map(np.asarray, state.params)
+    for i in range(3):
+        state, m = trainer.train_step(state, _batch(), jax.random.key(i))
+    assert np.isfinite(float(m["loss"]))
+    # the UNet is the trainable model here
+    leaf0 = jax.tree_util.tree_leaves(p0)[0]
+    leaf1 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    assert not np.array_equal(leaf0, leaf1)
+    # EMA tracked and lies between init and current
+    ema_leaf = np.asarray(jax.tree_util.tree_leaves(trainer.ema_params)[0])
+    assert not np.array_equal(ema_leaf, leaf1)
+    assert np.isfinite(ema_leaf).all()
+
+
+def test_turbo_timestep_sampling():
+    from genima_tpu.diffusion.training import TURBO_TIMESTEPS
+
+    assert TURBO_TIMESTEPS == (999, 749, 499, 249, 0)
+
+
+def test_lr_schedules():
+    cfg = TrainConfig(
+        learning_rate=1e-3, lr_scheduler="constant_with_warmup",
+        lr_warmup_steps=10, max_train_steps=100,
+    )
+    sched = make_lr_schedule(cfg)
+    assert float(sched(0)) == 0.0
+    np.testing.assert_allclose(float(sched(10)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(50)), 1e-3, rtol=1e-6)
+
+    lin = make_lr_schedule(
+        TrainConfig(learning_rate=1e-3, lr_scheduler="linear",
+                    lr_warmup_steps=10, max_train_steps=110)
+    )
+    np.testing.assert_allclose(float(lin(10)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(lin(110)), 0.0, atol=1e-9)
+
+    cos = make_lr_schedule(
+        TrainConfig(learning_rate=1e-3, lr_scheduler="cosine",
+                    lr_warmup_steps=10, max_train_steps=100)
+    )
+    assert float(cos(100)) < 1e-4
