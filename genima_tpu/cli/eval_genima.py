@@ -12,9 +12,7 @@ from __future__ import annotations
 import sys
 from pathlib import Path
 
-import jax.numpy as jnp
-
-from genima_tpu.core.config import instantiate, load_config, merge, parse_cli
+from genima_tpu.core.config import instantiate, load_config, parse_cli
 from genima_tpu.core.logging import MetricLogger
 from genima_tpu.core.rng import seed_everything
 from genima_tpu.data.tokenizer import load_tokenizer

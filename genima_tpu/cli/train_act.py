@@ -11,7 +11,7 @@ from __future__ import annotations
 import sys
 from pathlib import Path
 
-from genima_tpu.core.config import instantiate, load_config, parse_cli
+from genima_tpu.core.config import load_config, parse_cli
 from genima_tpu.core.logging import MetricLogger
 from genima_tpu.core.mesh import make_mesh
 from genima_tpu.core.rng import seed_everything

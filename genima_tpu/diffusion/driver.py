@@ -9,7 +9,6 @@ sharded-jit DP mesh instead of Accelerate.
 
 from __future__ import annotations
 
-import math
 import time
 from pathlib import Path
 

@@ -17,7 +17,6 @@ arguments so they stay resident on device across steps.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, NamedTuple, Optional
 
 import jax
