@@ -145,3 +145,54 @@ def test_diffusion_agent_episode_seeding():
     d.new_episode()
     b = d.infer(img, ["x"], num_inference_steps=2)
     np.testing.assert_array_equal(a, b)
+
+
+def test_fused_closed_loop_step():
+    """The single-program control step matches the staged path."""
+    import jax
+    from genima_tpu.eval.fused import FusedGenimaStep
+
+    pipe = SDControlNetPipeline(
+        unet_cfg=UNetConfig.tiny(),
+        vae_cfg=VAEConfig.tiny_test(),
+        text_cfg=CLIPTextConfig.tiny(),
+        dtype=jnp.float32,
+    )
+    dag = SDControlNetAgent(pipe=pipe, resolution=64)
+    agent = GenimaACTAgent(
+        act_cfg=ACTConfig.tiny(num_queries=6),
+        clip_cfg=CLIPTextConfig.tiny(projection_dim=16),
+        image_size=32,
+        resnet_width=8,
+        num_views=4,
+        data_augmentation=False,
+    )
+    params, clip_p = agent.init_params(jax.random.key(0))
+    agent.create_state(params, clip_p)
+
+    fused = FusedGenimaStep(dag, agent, obs_size=32)
+    tiled = jnp.zeros((1, 64, 64, 3), jnp.uint8)
+    embeds = dag._embed_prompts(["x"])
+    lat = pipe.init_latents(jax.random.key(1), 1, 64, 64)
+    qpos = jnp.zeros((1, 8))
+    ids = jnp.zeros((1, 77), jnp.int32)
+    actions, target = fused(
+        dag.params, params, clip_p, tiled, embeds, lat, qpos, ids,
+        num_inference_steps=2,
+    )
+    assert actions.shape == (1, 6, 8)
+    assert target.shape == (1, 64, 64, 3) and target.dtype == jnp.uint8
+
+    # parity with the staged path
+    target2 = dag.pipe.generate(
+        dag.params, tiled, embeds, lat, num_inference_steps=2
+    )
+    np.testing.assert_array_equal(np.asarray(target), np.asarray(target2))
+    from genima_tpu.data.tiling import untile_to_cameras
+
+    cams = untile_to_cameras(target2.astype(jnp.float32), target_size=32)
+    act_in = jnp.transpose(cams, (1, 0, 2, 3, 4)).reshape(1, 4, 32, 32, 3)
+    actions2 = agent.act(params, act_in, qpos, ids)
+    np.testing.assert_allclose(
+        np.asarray(actions), np.asarray(actions2), atol=1e-5
+    )
