@@ -105,6 +105,41 @@ class GenimaEvalWorkspace:
         ] * fs
         return prompts, negative
 
+    def _fused(self, fs: int, obs_size: int):
+        if not hasattr(self, "_fused_step"):
+            try:
+                from genima_tpu.eval.fused import FusedGenimaStep
+
+                self._fused_step = FusedGenimaStep(
+                    self.diffusion_agent, self.controller_agent, obs_size
+                )
+            except Exception:
+                self._fused_step = None
+        return self._fused_step
+
+    def _fused_control_step(self, obs, goal: str, fs: int, lang_tokens):
+        """One jitted program: tiled obs -> diffusion -> untile -> ACT."""
+        tiled = self._tile_obs(obs, fs)
+        prompts, negative = self._prompts(goal, fs)
+        dag = self.diffusion_agent
+        embeds = dag._embed_prompts(prompts)
+        latents = dag._next_latents(fs)
+        qpos = obs["low_dim_state"].reshape(1, -1).astype(np.float32)
+        obs_size = obs[f"{self.cameras[0]}_rgb"].shape[-1]
+        fused = self._fused(fs, obs_size)
+        actions, target = fused(
+            dag.params,
+            self.controller_params,
+            self.controller_agent._clip_params,
+            jnp.asarray(tiled),
+            embeds,
+            latents,
+            jnp.asarray(qpos),
+            jnp.asarray(lang_tokens),
+            num_inference_steps=self.eval_cfg.get("num_diffusion_steps", 5),
+        )
+        return np.asarray(actions[0]), target
+
     def _generate_targets_device(self, obs, goal: str, fs: int):
         """Device-resident fast path (SURVEY.md §7 "host<->device boundary"):
         the generated target never round-trips to host — untile and the ACT
@@ -207,9 +242,30 @@ class GenimaEvalWorkspace:
                 termination, episode_step, reward = False, 0, 0.0
                 fs = obs[f"{self.cameras[0]}_rgb"].shape[0]
 
+                use_fused = (
+                    self.diffusion_agent is not None
+                    and cfg.get("guidance_scale", 0.0) <= 1.0
+                    and hasattr(self.diffusion_agent, "infer_device")
+                    and hasattr(self.controller_agent, "_act_impl")
+                    and self._fused(
+                        fs, obs[f"{self.cameras[0]}_rgb"].shape[-1]
+                    )
+                    is not None
+                )
+
                 while not termination:
                     act_images_dev = None
-                    if self.diffusion_agent is not None:
+                    actions = None
+                    if use_fused:
+                        # ONE jitted program: tile upload -> diffusion ->
+                        # untile -> ACT -> action download
+                        t0 = time.time()
+                        actions, gen_dev = self._fused_control_step(
+                            obs, goal, fs, lang_tokens
+                        )
+                        timings["gen_time"].append(time.time() - t0)
+                        timings["control_time"].append(0.0)
+                    elif self.diffusion_agent is not None:
                         t0 = time.time()
                         if hasattr(self.diffusion_agent, "infer_device"):
                             act_images_dev, gen_dev = (
@@ -221,26 +277,31 @@ class GenimaEvalWorkspace:
                                 obs, goal, fs
                             )
                         timings["gen_time"].append(time.time() - t0)
-                        # [Debug] save input/generated tiles
-                        # (reference eval_genima.py:188-222)
-                        if cfg.get("save_gen_image") or cfg.get(
-                            "save_input_image"
-                        ):
-                            self._save_debug_images(
-                                obs, np.asarray(gen_dev), global_episode,
-                                episode_step,
-                            )
                     else:
                         ctrl_obs = obs
+                        gen_dev = None
 
-                    t0 = time.time()
-                    if act_images_dev is not None:
-                        actions = self._controller_act_device(
-                            act_images_dev, ctrl_obs, lang_tokens
+                    if self.diffusion_agent is not None and (
+                        cfg.get("save_gen_image") or cfg.get("save_input_image")
+                    ):
+                        # [Debug] save input/generated tiles
+                        # (reference eval_genima.py:188-222)
+                        self._save_debug_images(
+                            obs, np.asarray(gen_dev), global_episode,
+                            episode_step,
                         )
-                    else:
-                        actions = self._controller_act(ctrl_obs, lang_tokens)
-                    timings["control_time"].append(time.time() - t0)
+
+                    if actions is None:
+                        t0 = time.time()
+                        if act_images_dev is not None:
+                            actions = self._controller_act_device(
+                                act_images_dev, ctrl_obs, lang_tokens
+                            )
+                        else:
+                            actions = self._controller_act(
+                                ctrl_obs, lang_tokens
+                            )
+                        timings["control_time"].append(time.time() - t0)
 
                     actions = actions[:execution_horizon]
                     try:
