@@ -88,6 +88,14 @@ _ATTN_BACKENDS: dict[str, Callable] = {
 }
 
 
+def resolve_backend(backend: str, is_cross: bool) -> str:
+    """'pallas_self' routes self-attention through the flash kernel while
+    cross-attention (77 kv tokens — too small to win) stays on XLA."""
+    if backend == "pallas_self":
+        return "xla" if is_cross else "pallas"
+    return backend
+
+
 class Attention(nn.Module):
     """Multi-head (self or cross) attention, diffusers ``Attention`` layout.
 
@@ -122,7 +130,10 @@ class Attention(nn.Module):
         k = k.reshape(b, sk, self.heads, head_dim)
         v = v.reshape(b, sk, self.heads, head_dim)
 
-        out = _ATTN_BACKENDS[self.backend](q, k, v)
+        backend = resolve_backend(
+            self.backend, self.cross_attention_dim is not None
+        )
+        out = _ATTN_BACKENDS[backend](q, k, v)
         out = out.reshape(b, sq, inner_dim)
         return nn.Dense(inner_dim, dtype=self.dtype, name="to_out_0")(out)
 
