@@ -33,8 +33,17 @@ def make_mesh(
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devices) // n_fsdp
-    if n_data * n_fsdp != len(devices):
-        devices = devices[: n_data * n_fsdp]
+    needed = n_data * n_fsdp
+    if len(devices) < needed:
+        raise ValueError(
+            f"make_mesh needs {needed} devices for a {n_data}x{n_fsdp} "
+            f"(data x fsdp) mesh but only {len(devices)} are available "
+            f"({[d.platform for d in devices]}). Provision more devices or "
+            "a virtual CPU platform "
+            "(XLA_FLAGS=--xla_force_host_platform_device_count=N)."
+        )
+    if len(devices) > needed:
+        devices = devices[:needed]
     dev_array = np.asarray(devices).reshape(n_data, n_fsdp)
     return Mesh(dev_array, (DATA_AXIS, FSDP_AXIS))
 

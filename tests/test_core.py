@@ -69,6 +69,15 @@ def test_mesh_and_shard_batch():
     assert sharded["x"].sharding.spec == jax.sharding.PartitionSpec("data")
 
 
+def test_mesh_rejects_insufficient_devices():
+    import pytest
+
+    with pytest.raises(ValueError, match="needs 16 devices"):
+        mesh_mod.make_mesh(n_data=16)
+    with pytest.raises(ValueError, match="needs 16 devices"):
+        mesh_mod.make_mesh(n_data=8, n_fsdp=2, devices=jax.devices())
+
+
 def test_step_checkpoint_retention(tmp_path):
     params = {"w": np.ones((2, 2), np.float32)}
     for step in [100, 200, 300]:
