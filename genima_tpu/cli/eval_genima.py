@@ -40,6 +40,41 @@ def build_controller_agent(train_cfg, eval_cfg):
     return GenimaACTAgent()
 
 
+def load_eval_clip(eval_cfg, train_cfg, clip_params):
+    """Load the frozen CLIP text tower for eval.
+
+    The controller checkpoint strips CLIP params (reference contract,
+    ``controller/train_act.py:262-279``), so eval must reload them from the
+    pretrained file the way the reference lazily loads ViT-B/32
+    (``controller/method/genima_act.py:314-346``). A controller trained with
+    real CLIP embeddings evaluated against random-init CLIP would silently
+    produce garbage language conditioning — fail loudly instead.
+    """
+    path = eval_cfg.get("clip_weights")
+    source = "eval config"
+    if not path:
+        path = (train_cfg or {}).get("clip_weights")
+        source = "saved train config"
+    if not path:
+        return clip_params
+    if not Path(path).exists():
+        raise FileNotFoundError(
+            f"clip_weights={path} (from the {source}) does not "
+            "exist at eval time. The controller was trained with pretrained "
+            "CLIP language embeddings; evaluating with random-init CLIP "
+            "would silently break language conditioning. Provide the file "
+            "or override clip_weights explicitly."
+        )
+    from genima_tpu.weights.torch_port import (
+        load_openai_clip_text,
+        load_torch_file,
+    )
+
+    clip_params = load_openai_clip_text(load_torch_file(path), clip_params)
+    print(f"loaded CLIP text tower from {path}")
+    return clip_params
+
+
 def build_eval_env(eval_cfg, train_cfg, stats_path):
     from genima_tpu.envs.rlbench import make_factory
 
@@ -73,6 +108,7 @@ def main(argv=None, with_diffusion: bool = True):
     params, clip_params = controller_agent.init_params(
         __import__("jax").random.key(eval_cfg.get("seed", 2))
     )
+    clip_params = load_eval_clip(eval_cfg, train_cfg, clip_params)
     controller_agent.create_state(params, clip_params)
 
     diffusion_agent = None

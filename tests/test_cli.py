@@ -273,3 +273,84 @@ def test_dataset_index_and_loader(tmp_path):
     assert batch["conditioning_pixel_values"].min() >= 0
     assert batch["input_ids"].shape == (4, 77)
     assert len(loader) == 2  # 10 samples, batch 4, drop_last
+
+
+# ---------------------------------------------------------------------------
+# eval-time CLIP loading (frozen tower is stripped from controller ckpts)
+# ---------------------------------------------------------------------------
+
+
+def _tiny_openai_clip_sd(cfg, rng):
+    d, inter = cfg.hidden_size, cfg.intermediate_size
+    sd = {
+        "token_embedding.weight": rng.randn(cfg.vocab_size, d).astype(np.float32),
+        "positional_embedding": rng.randn(cfg.max_positions, d).astype(np.float32),
+        "ln_final.weight": np.ones(d, np.float32),
+        "ln_final.bias": np.zeros(d, np.float32),
+        "text_projection": rng.randn(d, cfg.projection_dim).astype(np.float32),
+        "logit_scale": np.zeros(()),
+    }
+    for i in range(cfg.num_layers):
+        p = f"transformer.resblocks.{i}."
+        sd[p + "attn.in_proj_weight"] = rng.randn(3 * d, d).astype(np.float32)
+        sd[p + "attn.in_proj_bias"] = rng.randn(3 * d).astype(np.float32)
+        sd[p + "attn.out_proj.weight"] = rng.randn(d, d).astype(np.float32)
+        sd[p + "attn.out_proj.bias"] = rng.randn(d).astype(np.float32)
+        sd[p + "ln_1.weight"] = np.ones(d, np.float32)
+        sd[p + "ln_1.bias"] = np.zeros(d, np.float32)
+        sd[p + "ln_2.weight"] = np.ones(d, np.float32)
+        sd[p + "ln_2.bias"] = np.zeros(d, np.float32)
+        sd[p + "mlp.c_fc.weight"] = rng.randn(inter, d).astype(np.float32)
+        sd[p + "mlp.c_fc.bias"] = rng.randn(inter).astype(np.float32)
+        sd[p + "mlp.c_proj.weight"] = rng.randn(d, inter).astype(np.float32)
+        sd[p + "mlp.c_proj.bias"] = rng.randn(d).astype(np.float32)
+    return sd
+
+
+def test_eval_loads_pretrained_clip(tmp_path):
+    """Reference lazily loads frozen CLIP at eval (genima_act.py:314-346);
+    evaluating with random-init CLIP must be impossible to do silently."""
+    import jax
+    import torch
+
+    from genima_tpu.cli.eval_genima import load_eval_clip
+    from genima_tpu.control.policy import GenimaACTAgent
+    from genima_tpu.nn.act import ACTConfig
+    from genima_tpu.nn.clip_text import CLIPTextConfig
+
+    agent = GenimaACTAgent(
+        act_cfg=ACTConfig.tiny(),
+        clip_cfg=CLIPTextConfig.tiny(
+            projection_dim=ACTConfig.tiny().lang_dim
+        ),
+        image_size=32,
+        resnet_width=8,
+        num_views=2,
+        data_augmentation=False,
+    )
+    _, clip_random = agent.init_params(jax.random.key(0))
+
+    # missing file fails loudly, whether configured at eval or train time
+    with pytest.raises(FileNotFoundError, match="clip_weights"):
+        load_eval_clip(
+            {"clip_weights": str(tmp_path / "nope.pt")}, None, clip_random
+        )
+    with pytest.raises(FileNotFoundError, match="clip_weights"):
+        load_eval_clip(
+            {}, {"clip_weights": str(tmp_path / "nope.pt")}, clip_random
+        )
+
+    sd = _tiny_openai_clip_sd(agent.clip_cfg, np.random.RandomState(3))
+    path = tmp_path / "clip.pt"
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}, path)
+
+    # train-config fallback: eval_cfg has no clip_weights
+    ported = load_eval_clip({}, {"clip_weights": str(path)}, clip_random)
+    tokens = jnp.zeros((1, agent.clip_cfg.max_positions), jnp.int32)
+    emb_ported = agent.encode_lang(ported, tokens)
+    emb_random = agent.encode_lang(clip_random, tokens)
+    assert not np.allclose(np.asarray(emb_ported), np.asarray(emb_random))
+
+    # no clip configured anywhere -> unchanged (scratch-trained controller)
+    same = load_eval_clip({}, None, clip_random)
+    assert same is clip_random
