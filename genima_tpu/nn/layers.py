@@ -87,12 +87,21 @@ _ATTN_BACKENDS: dict[str, Callable] = {
     "pallas": _pallas_attention,
 }
 
+# 'fused' backend: self-attention sequences at least this long go through the
+# packed Pallas kernel (kernels/packed_attention.py). Below it the score
+# matrix is small enough that XLA keeps it on-chip anyway (measured neutral,
+# scripts/ablate_r2.py) — the 4096/1024-token levels are where XLA spills
+# f32 logits to HBM.
+FUSED_MIN_SEQ = 1024
+
 
 def resolve_backend(backend: str, is_cross: bool) -> str:
-    """'pallas_self' routes self-attention through the flash kernel while
-    cross-attention (77 kv tokens — too small to win) stays on XLA."""
+    """'pallas_self'/'fused' route self-attention through a flash kernel
+    while cross-attention (77 kv tokens — too small to win) stays on XLA."""
     if backend == "pallas_self":
         return "xla" if is_cross else "pallas"
+    if backend == "fused":
+        return "xla" if is_cross else "fused"
     return backend
 
 
@@ -126,15 +135,25 @@ class Attention(nn.Module):
 
         b, sq, _ = q.shape
         sk = k.shape[1]
-        q = q.reshape(b, sq, self.heads, head_dim)
-        k = k.reshape(b, sk, self.heads, head_dim)
-        v = v.reshape(b, sk, self.heads, head_dim)
-
         backend = resolve_backend(
             self.backend, self.cross_attention_dim is not None
         )
-        out = _ATTN_BACKENDS[backend](q, k, v)
-        out = out.reshape(b, sq, inner_dim)
+        if backend == "fused" and sq >= FUSED_MIN_SEQ and sq % 128 == 0:
+            # packed kernel consumes the projection outputs directly —
+            # no (S,H,D) transposes at the kernel boundary
+            from genima_tpu.kernels.packed_attention import (
+                packed_flash_attention,
+            )
+
+            out = packed_flash_attention(q, k, v, self.heads)
+        else:
+            if backend == "fused":
+                backend = "xla"
+            qh = q.reshape(b, sq, self.heads, head_dim)
+            kh = k.reshape(b, sk, self.heads, head_dim)
+            vh = v.reshape(b, sk, self.heads, head_dim)
+            out = _ATTN_BACKENDS[backend](qh, kh, vh)
+            out = out.reshape(b, sq, inner_dim)
         return nn.Dense(inner_dim, dtype=self.dtype, name="to_out_0")(out)
 
 

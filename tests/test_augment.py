@@ -3,6 +3,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from genima_tpu.data import augment
+import pytest
+
+pytestmark = pytest.mark.fast
 
 
 def _img(b=2, h=16, w=16):

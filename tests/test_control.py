@@ -28,6 +28,7 @@ def _make_buffer(**kw):
     return buf
 
 
+@pytest.mark.fast
 def test_replay_frame_stack_clipping():
     buf = _make_buffer()
     s0 = buf._sample_one(0, 0)
@@ -40,6 +41,7 @@ def test_replay_frame_stack_clipping():
     np.testing.assert_array_equal(s3["qpos"], [2, 2, 2, 3, 3, 3])
 
 
+@pytest.mark.fast
 def test_replay_action_chunk_padding():
     buf = _make_buffer()
     s = buf._sample_one(0, 5)  # episode length 7, chunk 5 -> 2 padded
@@ -47,6 +49,7 @@ def test_replay_action_chunk_padding():
     np.testing.assert_array_equal(s["actions"][:, 0], [5, 6, 6, 6, 6])
 
 
+@pytest.mark.fast
 def test_replay_epoch_covers_all_indices():
     buf = _make_buffer(batch_size=3)
     seen = 0
@@ -55,6 +58,7 @@ def test_replay_epoch_covers_all_indices():
     assert seen == len(buf) == 7
 
 
+@pytest.mark.fast
 def test_replay_epochs_reshuffle():
     buf = _make_buffer(batch_size=7)
     a = next(iter(buf))["qpos"][:, 0]
@@ -63,6 +67,7 @@ def test_replay_epochs_reshuffle():
     assert not np.array_equal(a, b)  # order differs (7! >> collisions)
 
 
+@pytest.mark.fast
 def test_replay_terminal_reward():
     buf = _make_buffer()
     assert buf._sample_one(0, 6)["reward"] == 1.0
@@ -74,6 +79,7 @@ def test_replay_terminal_reward():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.fast
 def test_act_loss_formula():
     b, t, a = 2, 4, 3
     out = ACTOutput(
@@ -93,6 +99,7 @@ def test_act_loss_formula():
     np.testing.assert_allclose(float(m["kl"]), 0.0, atol=1e-7)
 
 
+@pytest.mark.fast
 def test_act_loss_masks_padding():
     out = ACTOutput(
         actions=jnp.zeros((1, 2, 2)),
@@ -106,6 +113,7 @@ def test_act_loss_masks_padding():
     assert float(m["l1"]) == 0.0  # fully masked
 
 
+@pytest.mark.fast
 def test_kl_divergence_value():
     mu = jnp.ones((1, 2))
     logvar = jnp.zeros((1, 2))
@@ -200,6 +208,7 @@ def test_update_trains_and_freezes_bn(tiny_agent):
     ).max() > 0
 
 
+@pytest.mark.fast
 def test_param_labels():
     assert _param_label(["encoder", "backbone", "bn1", "var"]) == "frozen"
     assert _param_label(["encoder", "backbone", "layer1_0", "downsample_1", "mean"]) == "frozen"

@@ -10,6 +10,8 @@ from genima_tpu.core import checkpoint as ckpt_mod
 from genima_tpu.core import mesh as mesh_mod
 from genima_tpu.core.rng import RngStream
 
+pytestmark = pytest.mark.fast
+
 
 def test_config_load_override_interp(tmp_path):
     p = tmp_path / "c.yaml"

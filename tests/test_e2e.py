@@ -147,6 +147,7 @@ def test_diffusion_agent_episode_seeding():
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.fast
 def test_fused_closed_loop_step():
     """The single-program control step matches the staged path."""
     import jax

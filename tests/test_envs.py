@@ -18,6 +18,8 @@ from genima_tpu.envs import (
 )
 from genima_tpu.envs.demo import extract_demo_actions
 
+pytestmark = pytest.mark.fast
+
 
 @pytest.fixture()
 def factory():

@@ -8,9 +8,12 @@ from PIL import Image
 
 from genima_tpu.native import decode_png_batch, get_lib
 
-pytestmark = pytest.mark.skipif(
-    get_lib() is None, reason="native extension unavailable (no g++/libpng)"
-)
+pytestmark = [
+    pytest.mark.fast,
+    pytest.mark.skipif(
+        get_lib() is None, reason="native extension unavailable (no g++/libpng)"
+    ),
+]
 
 
 def _png(arr: np.ndarray) -> bytes:

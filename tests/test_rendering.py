@@ -4,6 +4,8 @@ import numpy as np
 import pytest
 from PIL import Image
 
+pytestmark = pytest.mark.fast
+
 from genima_tpu.rendering import (
     SPHERE_BASE_FACTORS,
     STRIPE_COLORS,

@@ -5,6 +5,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from genima_tpu.diffusion import schedulers as sched
+import pytest
+
+pytestmark = pytest.mark.fast
 
 
 def test_alphas_cumprod_scaled_linear():

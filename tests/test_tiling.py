@@ -2,6 +2,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from genima_tpu.data import tiling
+import pytest
+
+pytestmark = pytest.mark.fast
 
 
 def test_tile_untile_roundtrip():

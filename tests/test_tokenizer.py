@@ -1,11 +1,15 @@
 import numpy as np
 
+import pytest
+
 from genima_tpu.data.tokenizer import (
     ClipTokenizer,
     HashTokenizer,
     bytes_to_unicode,
     whitespace_clean,
 )
+
+pytestmark = pytest.mark.fast
 
 
 def _tiny_tokenizer():
