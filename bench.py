@@ -9,6 +9,21 @@ jitted XLA program. Prints ONE JSON line:
 vs_baseline is measured against the north-star target of 10 gens/sec (the
 <100 ms p50 closed-loop step on v5e; the reference publishes no numbers —
 BASELINE.json published: {}).
+
+Measurement notes (axon relay):
+* gens/sec is measured with a CHAINED pipeline: every iteration's latents
+  depend on the previous iteration's output image (device-side, never read
+  back until the end), plus a distinct base latent per iteration. Nothing
+  can be deduped, reordered, or skipped — the chain is one long device
+  dependency — while host dispatch overlaps device execution, so the number
+  is true sequential device throughput rather than device time + per-call
+  relay round-trip (~15-35 ms of noise on this host).
+* per-call p50 latency (readback each iteration) is reported on stderr as a
+  diagnostic.
+* params are zeros-initialized directly on device: TPU timing is
+  value-independent (no data-dependent control flow in the program) and
+  host->device transfer of 5 GB of random weights through the relay costs
+  ~260 s. Pass --real-init for fast_init host random weights.
 """
 
 from __future__ import annotations
@@ -19,17 +34,31 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def zeros_init(pipe, image_size: int = 512) -> dict:
+    """On-device zeros params with the exact real tree structure."""
+    shapes = jax.eval_shape(
+        lambda: pipe.init_params(jax.random.key(0), image_size=image_size,
+                                 fast=False)
+    )
+    return jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
 
 def main() -> None:
     from genima_tpu.diffusion.pipeline import SDControlNetPipeline
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
-    pipe = SDControlNetPipeline()  # full SD-turbo geometry, bf16
+    pipe = SDControlNetPipeline()  # full SD-turbo geometry, bf16, fused attn
     key = jax.random.key(0)
 
     t0 = time.time()
-    params = pipe.init_params(key, image_size=512, fast=True)
+    if "--real-init" in sys.argv:
+        params = pipe.init_params(key, image_size=512, fast=True)
+    else:
+        params = zeros_init(pipe)
+    jax.block_until_ready(params)
     print(f"param init: {time.time() - t0:.1f}s", file=sys.stderr)
 
     embeds = jnp.zeros((1, 77, 1024), jnp.bfloat16)
@@ -42,42 +71,53 @@ def main() -> None:
     img.block_until_ready()
     print(f"compile + first gen: {time.time() - t0:.1f}s", file=sys.stderr)
 
-    # timed runs — distinct inputs per iteration so no layer of the stack can
-    # dedupe/cache identical executions
-    n_warm, n_timed = 3, 20
+    # distinct inputs per iteration so no layer of the stack can dedupe
+    n_warm, n_lat, n_timed = 3, 24, 48
     all_latents = [
         pipe.init_latents(jax.random.key(100 + i), 1, 512, 512)
-        for i in range(n_warm + n_timed)
+        for i in range(n_lat)
     ]
     jax.block_until_ready(all_latents)
-    import numpy as _np
 
+    def gen(i, feedback):
+        # device-side dependence on the previous output image: the scaled
+        # feedback term is numerically ~1e-7 (doesn't change the workload)
+        # but makes iteration i+1 un-launchable before iteration i finishes
+        lat = all_latents[i % n_lat] + feedback * 1e-9
+        return pipe.generate(
+            params, cond, embeds, lat, num_inference_steps=num_steps
+        )
+
+    feedback = jnp.zeros((), jnp.float32)
     for i in range(n_warm):
-        img = pipe.generate(
-            params, cond, embeds, all_latents[i], num_inference_steps=num_steps
-        )
-        _ = _np.asarray(img[0, 0, 0])  # force completion (axon relay)
+        img = gen(i, feedback)
+        feedback = img[0, 0, 0, 0].astype(jnp.float32)
+        _ = np.asarray(feedback)  # force completion (axon relay)
 
-    # A host readback per iteration forces real completion — under the axon
-    # relay block_until_ready alone returns before the computation finishes.
-    import numpy as np
-
-    times = []
+    # ---- throughput: chained, single readback at the end ------------------
+    t0 = time.perf_counter()
     for i in range(n_timed):
-        t0 = time.perf_counter()
-        img = pipe.generate(
-            params, cond, embeds, all_latents[n_warm + i],
-            num_inference_steps=num_steps,
-        )
-        _ = np.asarray(img[0, 0, 0])
-        times.append(time.perf_counter() - t0)
+        img = gen(i, feedback)
+        feedback = img[0, 0, 0, 0].astype(jnp.float32)
+    _ = np.asarray(feedback)  # forces the whole chain
+    total = time.perf_counter() - t0
+    per_gen_ms = total / n_timed * 1000
+    gens_per_sec = n_timed / total
 
+    # ---- diagnostic: per-call latency with per-iteration readback ---------
+    times = []
+    for i in range(12):
+        t0 = time.perf_counter()
+        img = gen(i, feedback)
+        feedback = img[0, 0, 0, 0].astype(jnp.float32)
+        _ = np.asarray(feedback)
+        times.append(time.perf_counter() - t0)
     times.sort()
     p50 = times[len(times) // 2]
-    gens_per_sec = 1.0 / p50
     print(
-        f"p50 latency: {p50 * 1000:.1f} ms | min {times[0]*1000:.1f} | "
-        f"max {times[-1]*1000:.1f}",
+        f"chained throughput: {per_gen_ms:.1f} ms/gen over {n_timed} gens | "
+        f"per-call p50 {p50*1000:.1f} ms (min {times[0]*1000:.1f}, "
+        f"max {times[-1]*1000:.1f})",
         file=sys.stderr,
     )
 

@@ -126,8 +126,8 @@ def main(argv=None, with_diffusion: bool = True):
         node.setdefault("autoencoder", eval_cfg.get("autoencoder", ""))
         node.setdefault(
             "backend",
-            "pallas"
-            if eval_cfg.get("enable_xformers_memory_efficient_attention")
+            "fused"
+            if eval_cfg.get("enable_xformers_memory_efficient_attention", True)
             else "xla",
         )
         diffusion_agent = instantiate(node)

