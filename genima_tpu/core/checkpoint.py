@@ -93,8 +93,13 @@ def save_step_checkpoint(
     train_state: Any | None = None,
     metadata: dict | None = None,
     total_limit: int | None = None,
+    extra: dict | None = None,
 ) -> Path:
-    """Save ``checkpoint-<step>/`` with pre-save retention pruning."""
+    """Save ``checkpoint-<step>/`` with pre-save retention pruning.
+
+    ``extra`` maps names to additional pytrees saved as ``<name>.msgpack``
+    in the checkpoint dir (e.g. EMA params for the pix2pix trainer).
+    """
     output_dir = Path(output_dir)
     if total_limit is not None:
         existing = list_step_checkpoints(output_dir)
@@ -106,6 +111,8 @@ def save_step_checkpoint(
     save_pytree(model_params, ckpt_dir / model_subdir / "params.msgpack")
     if train_state is not None:
         save_pytree(train_state, ckpt_dir / "train_state.msgpack")
+    for name, tree in (extra or {}).items():
+        save_pytree(tree, ckpt_dir / f"{name}.msgpack")
     meta = dict(metadata or {})
     meta["step"] = step
     with open(ckpt_dir / "metadata.json", "w") as f:

@@ -254,6 +254,11 @@ def run_training(args, variant: str = "sd", pipe=None) -> dict:
                 )
             else:
                 state = state._replace(params=model_params)
+            ema_path = resume_dir / "ema.msgpack"
+            if state.ema is not None and ema_path.exists():
+                state = state._replace(
+                    ema=ckpt.load_pytree(ema_path, target=state.ema)
+                )
             global_step = int(state.step)
             print(f"Resumed from {resume_dir} at step {global_step}")
 
@@ -294,6 +299,9 @@ def run_training(args, variant: str = "sd", pipe=None) -> dict:
                     train_state={"opt_state": state.opt_state,
                                  "step": state.step},
                     total_limit=args.checkpoints_total_limit,
+                    extra=(
+                        {"ema": state.ema} if state.ema is not None else None
+                    ),
                 )
                 print(f"Saved state to checkpoint-{global_step}")
             if (
@@ -313,11 +321,7 @@ def run_training(args, variant: str = "sd", pipe=None) -> dict:
             break
 
     # final save at the output root (reference :1483-1486)
-    final_params = (
-        trainer.ema_params
-        if getattr(trainer, "use_ema", False) and trainer.ema_params is not None
-        else state.params
-    )
+    final_params = state.ema if state.ema is not None else state.params
     ckpt.save_final_model(args.output_dir, final_params, model_subdir)
     logger.close()
     return {

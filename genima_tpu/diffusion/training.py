@@ -59,6 +59,10 @@ class TrainState(NamedTuple):
     params: Any  # trainable (controlnet) params
     opt_state: Any
     step: jax.Array
+    # EMA of the trainable params (pix2pix ``--use_ema``); None otherwise.
+    # Living in the state keeps the decay update inside the jitted step and
+    # the EMA checkpointed/resumable.
+    ema: Any = None
 
 
 def make_lr_schedule(cfg: TrainConfig) -> optax.Schedule:
@@ -201,7 +205,7 @@ class ControlNetTrainer:
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         grad_norm = optax.global_norm(grads)
-        new_state = TrainState(params, opt_state, state.step + 1)
+        new_state = TrainState(params, opt_state, state.step + 1, state.ema)
         lr = make_lr_schedule(self.cfg)(state.step)
         return new_state, {"loss": loss, "grad_norm": grad_norm, "lr": lr}
 
@@ -336,16 +340,18 @@ class Pix2PixTrainer(ControlNetTrainer):
             params=trainable,
             opt_state=self.tx.init(trainable),
             step=jnp.zeros((), jnp.int32),
-        )
-        self.ema_params = (
-            jax.tree_util.tree_map(lambda x: x, trainable) if self.use_ema else None
+            # real copies — ema shares the donated TrainState, so aliasing
+            # the param buffers would donate them twice
+            ema=(
+                jax.tree_util.tree_map(jnp.copy, trainable)
+                if self.use_ema
+                else None
+            ),
         )
         if self.mesh is not None:
             rep = replicated(self.mesh)
             state = jax.device_put(state, rep)
             self._frozen = jax.device_put(self._frozen, rep)
-            if self.ema_params is not None:
-                self.ema_params = jax.device_put(self.ema_params, rep)
         return state
 
     def _loss_fn(self, unet_params, frozen, batch, key):
@@ -417,11 +423,15 @@ class Pix2PixTrainer(ControlNetTrainer):
             target = get_velocity(self.alphas_cumprod, latents, noise, timesteps)
         return jnp.mean((eps_pred.astype(jnp.float32) - target) ** 2)
 
-    def train_step(self, state, batch, key):
-        state, metrics = super().train_step(state, batch, key)
+    def _step_impl(self, state, frozen, batch, key):
+        new_state, metrics = super()._step_impl(state, frozen, batch, key)
         if self.use_ema:
+            # in-graph EMA (one fused update, reference
+            # train_instruct_pix2pix_genima.py:1269-1273); lives in the
+            # TrainState so it checkpoints/resumes with the run
             d = self.ema_decay
-            self.ema_params = jax.tree_util.tree_map(
-                lambda e, p: e * d + p * (1 - d), self.ema_params, state.params
+            ema = jax.tree_util.tree_map(
+                lambda e, p: e * d + p * (1 - d), state.ema, new_state.params
             )
-        return state, metrics
+            new_state = new_state._replace(ema=ema)
+        return new_state, metrics

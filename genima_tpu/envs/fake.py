@@ -139,6 +139,10 @@ class FakeRLBenchEnv(gym.Env):
         self._episode_init(idx)
         return None, self._obs()
 
+    def initial_object_pose(self):
+        """Synthetic stand-in for RLBench's waypoint0 pose (7-vector)."""
+        return list(np.asarray(self._target, np.float64)[:7])
+
     def step(self, action):
         action = np.asarray(action, np.float32)
         self._joints = np.clip(action[:7], JOINT_LOW, JOINT_HIGH)

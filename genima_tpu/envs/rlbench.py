@@ -183,6 +183,19 @@ if RLBENCH_AVAILABLE:  # pragma: no cover - exercised only with a simulator
             obs = self._task.get_observation()
             return None, self._extract_obs(obs)
 
+        def initial_object_pose(self):
+            """waypoint0's pose from the RLBench scene workspace — logged
+            per episode for visualization (reference
+            ``controller/eval_genima.py:147-152``)."""
+            try:
+                return list(
+                    self._env._scene._workspace.get_object(
+                        "waypoint0"
+                    ).get_pose()
+                )
+            except Exception:
+                return None
+
         def step(self, action):
             obs, reward, terminate = self._task.step(np.asarray(action))
             return self._extract_obs(obs), float(reward), bool(terminate), (

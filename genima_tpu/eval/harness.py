@@ -46,6 +46,10 @@ class GenimaEvalWorkspace:
         self.logger = logger
         self.tokenizer = tokenizer
         self.controller_params = None
+        # one-off diffusion-only latency estimate so the fused single-program
+        # path can still report the reference's separate gen/control phases
+        # (eval_genima.py:202-211,242-249)
+        self._fused_gen_est = None
         self.video = VideoRecorder(
             Path(eval_cfg.get("save_image_path", "/tmp")) / "videos",
             fps=eval_cfg.get("video_fps", 30),
@@ -163,6 +167,16 @@ class GenimaEvalWorkspace:
         )
         return act_images, target
 
+    def _measure_gen_time(self, obs, goal: str, fs: int) -> float:
+        """One-off timing of the diffusion sub-program on the live obs
+        (compile excluded: first call compiles, second is measured), used to
+        attribute the fused program's time to gen/control phases."""
+        self._generate_targets_device(obs, goal, fs)  # compile
+        t0 = time.time()
+        _, dev = self._generate_targets_device(obs, goal, fs)
+        np.asarray(dev)[0, 0, 0]  # force completion (axon relay)
+        return time.time() - t0
+
     def _controller_act_device(self, act_images, obs, lang_tokens):
         qpos = obs["low_dim_state"].reshape(1, -1).astype(np.float32)
         actions = self.controller_agent.act(
@@ -224,7 +238,9 @@ class GenimaEvalWorkspace:
             print(f"\n-------- Run {run_id} ---------")
             self.load_controller_ckpt(Path(cfg.controller_ckpt) / eval_ckpt)
             run_episode, run_total_reward = 0, 0.0
-            timings = {"gen_time": [], "control_time": []}
+            timings = {
+                "gen_time": [], "control_time": [], "fused_step_time": [],
+            }
 
             while run_episode < cfg.get("num_eval_episodes", 10):
                 if self.diffusion_agent is not None:
@@ -237,6 +253,10 @@ class GenimaEvalWorkspace:
                     )
                     obs = self._rewrap_obs(raw_obs, obs)
                 lang_tokens = self._lang_tokens(goal, obs)
+                pose_fn = getattr(
+                    self.eval_env.unwrapped, "initial_object_pose", None
+                )
+                initial_object_pose = pose_fn() if callable(pose_fn) else None
 
                 self.video.init(self.eval_env, enabled=cfg.get("save_video", False))
                 termination, episode_step, reward = False, 0, 0.0
@@ -263,8 +283,20 @@ class GenimaEvalWorkspace:
                         actions, gen_dev = self._fused_control_step(
                             obs, goal, fs, lang_tokens
                         )
-                        timings["gen_time"].append(time.time() - t0)
-                        timings["control_time"].append(0.0)
+                        dt = time.time() - t0
+                        # the fused program cannot be split live; report its
+                        # true time under fused_step_time and attribute the
+                        # gen/control phases from a one-off measurement of
+                        # the diffusion sub-program (reference logs the two
+                        # phases separately, eval_genima.py:202-211)
+                        timings["fused_step_time"].append(dt)
+                        if self._fused_gen_est is None:
+                            self._fused_gen_est = self._measure_gen_time(
+                                obs, goal, fs
+                            )
+                        gen_est = min(self._fused_gen_est, dt)
+                        timings["gen_time"].append(gen_est)
+                        timings["control_time"].append(dt - gen_est)
                     elif self.diffusion_agent is not None:
                         t0 = time.time()
                         if hasattr(self.diffusion_agent, "infer_device"):
@@ -318,9 +350,14 @@ class GenimaEvalWorkspace:
                     if episode_step > episode_length:
                         termination = True
 
-                run_total_reward += float(reward)
+                # success accounting: RLBench rewards are sparse 0/1 and the
+                # env terminates on success, so the chunk-summed reward is at
+                # most 1 there — but clamp so a shaped env emitting rewards at
+                # several chunk steps can never push avg_success above 1
+                episode_success = float(np.clip(reward, 0.0, 1.0))
+                run_total_reward += episode_success
                 run_episode += 1
-                global_total_reward += float(reward)
+                global_total_reward += episode_success
                 global_episode += 1
 
                 logs["eval_episodes"].append(
@@ -332,6 +369,9 @@ class GenimaEvalWorkspace:
                         "steps": episode_step,
                         "run_id": run_id,
                         "controller_ckpt": eval_ckpt,
+                        # reference eval_genima.py:282-297 logs the object's
+                        # initial pose per episode
+                        "initial_object_pose": initial_object_pose,
                     }
                 )
                 logs_path.parent.mkdir(parents=True, exist_ok=True)
@@ -345,6 +385,10 @@ class GenimaEvalWorkspace:
                     "gen_time": float(np.mean(timings["gen_time"] or [0])),
                     "control_time": float(np.mean(timings["control_time"] or [0])),
                 }
+                if timings["fused_step_time"]:
+                    metrics["fused_step_time"] = float(
+                        np.mean(timings["fused_step_time"])
+                    )
                 if cfg.get("save_video", False):
                     success = "succ" if reward > 0.9 else "fail"
                     self.video.save(
@@ -384,25 +428,37 @@ class GenimaEvalWorkspace:
     # -- helpers -------------------------------------------------------------
 
     def _rewrap_obs(self, raw_obs, wrapped_obs):
-        """reset_to_demo returns an unwrapped obs; re-apply the observation
-        transformations by stacking it like FrameStack would."""
+        """reset_to_demo returns an unwrapped obs; re-apply EVERY observation
+        transformation in the wrapper chain (NormProprio, OnehotTime, ...) in
+        innermost-first order, and refill FrameStack's buffer so subsequent
+        steps don't mix pre-demo frames into the stack."""
         if raw_obs is None:
             return wrapped_obs
-        fs = wrapped_obs[f"{self.cameras[0]}_rgb"].shape[0]
-        out = {}
-        for k, v in raw_obs.items():
-            if k == "low_dim_state":
-                # proprio normalization wrapper sits below FrameStack
-                from genima_tpu.envs.wrappers import NormProprioFromStats
+        import gymnasium as gym
+        from collections import deque
 
-                env = self.eval_env
-                while hasattr(env, "env"):
-                    if isinstance(env, NormProprioFromStats):
-                        v = env.transform_to_norm(v, env.mean, env.std)
-                        break
-                    env = env.env
-            out[k] = np.stack([v] * fs)
-        return out
+        from genima_tpu.envs.wrappers import FrameStack
+
+        chain = []
+        env = self.eval_env
+        while hasattr(env, "env"):
+            chain.append(env)
+            env = env.env
+        obs = dict(raw_obs)
+        stacked = None
+        for w in reversed(chain):  # innermost wrapper first
+            if isinstance(w, gym.ObservationWrapper):
+                obs = w.observation(obs)
+            elif isinstance(w, FrameStack):
+                w._frames = {
+                    k: deque([v] * w._k, maxlen=w._k) for k, v in obs.items()
+                }
+                stacked = w._stacked()
+                obs = stacked
+        if stacked is None:  # no FrameStack in the chain: stack manually
+            fs = wrapped_obs[f"{self.cameras[0]}_rgb"].shape[0]
+            return {k: np.stack([v] * fs) for k, v in obs.items()}
+        return obs
 
     def _save_debug_images(self, obs, gen_tiles, episode, step) -> None:
         from PIL import Image

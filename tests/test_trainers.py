@@ -82,10 +82,53 @@ def test_pix2pix_trainer_step_with_dropout_and_ema():
     leaf0 = jax.tree_util.tree_leaves(p0)[0]
     leaf1 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
     assert not np.array_equal(leaf0, leaf1)
-    # EMA tracked and lies between init and current
-    ema_leaf = np.asarray(jax.tree_util.tree_leaves(trainer.ema_params)[0])
+    # EMA tracked in-graph (TrainState.ema) and differs from current params
+    ema_leaf = np.asarray(jax.tree_util.tree_leaves(state.ema)[0])
     assert not np.array_equal(ema_leaf, leaf1)
     assert np.isfinite(ema_leaf).all()
+    # exact decay semantics on a hand-tracked leaf: e' = d*e + (1-d)*p
+    ref = jax.tree_util.tree_leaves(p0)[0]
+    state2 = trainer.create_state(params)
+    seen_p = [np.asarray(jax.tree_util.tree_leaves(state2.params)[0])]
+    for i in range(2):
+        state2, _ = trainer.train_step(state2, _batch(), jax.random.key(i))
+        seen_p.append(np.asarray(jax.tree_util.tree_leaves(state2.params)[0]))
+    e = np.asarray(ref)
+    for p in seen_p[1:]:
+        e = e * 0.5 + p * 0.5
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(state2.ema)[0]), e, rtol=1e-5
+    )
+
+
+def test_pix2pix_ema_checkpointed_and_resumed(tmp_path):
+    """EMA params survive a step-checkpoint save/load round trip
+    (reference keeps EMA weights in the accelerate state)."""
+    from genima_tpu.core import checkpoint as ckpt
+
+    pipe = SDPix2PixPipeline(
+        unet_cfg=UNetConfig.tiny(in_channels=8),
+        vae_cfg=VAEConfig.tiny_test(),
+        text_cfg=CLIPTextConfig.tiny(),
+        dtype=jnp.float32,
+    )
+    params = pipe.init_params(jax.random.key(1), image_size=16)
+    trainer = Pix2PixTrainer(
+        pipe, TrainConfig(learning_rate=1e-4), use_ema=True, ema_decay=0.5
+    )
+    state = trainer.create_state(params)
+    state, _ = trainer.train_step(state, _batch(), jax.random.key(0))
+    ckpt.save_step_checkpoint(
+        tmp_path, 1, model_params=state.params, model_subdir="unet",
+        train_state={"opt_state": state.opt_state, "step": state.step},
+        extra={"ema": state.ema},
+    )
+    restored = ckpt.load_pytree(
+        tmp_path / "checkpoint-1" / "ema.msgpack", target=state.ema
+    )
+    a = jax.tree_util.tree_leaves(state.ema)[0]
+    b = jax.tree_util.tree_leaves(restored)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_turbo_timestep_sampling():
