@@ -225,8 +225,45 @@ class HashTokenizer:
         return result
 
 
-def load_tokenizer(merges_path: str | Path | None = None):
-    """Best-effort tokenizer: real BPE if a merge table is given/found."""
-    if merges_path is not None and Path(merges_path).exists():
+# default location for the vendored OpenAI merge table
+# (scripts/download_clip_vocab.sh puts it here)
+VENDORED_VOCAB = Path(__file__).parent / "bpe_simple_vocab_16e6.txt.gz"
+
+
+def load_tokenizer(
+    merges_path: str | Path | None = None, allow_hash_fallback: bool = True
+):
+    """Real CLIP BPE when a merge table is given or vendored.
+
+    Resolution order: explicit ``merges_path`` -> the vendored
+    ``data/bpe_simple_vocab_16e6.txt.gz`` (fetch once with
+    ``scripts/download_clip_vocab.sh``) -> :class:`HashTokenizer` with a
+    LOUD warning (never silently: ported CLIP weights are incompatible with
+    the hash stand-in). Pass ``allow_hash_fallback=False`` to make the
+    missing table a hard error instead.
+    """
+    if merges_path is not None:
+        if not Path(merges_path).exists():
+            raise FileNotFoundError(
+                f"tokenizer_merges={merges_path} does not exist"
+            )
         return ClipTokenizer.from_merges_file(merges_path)
+    if VENDORED_VOCAB.exists():
+        return ClipTokenizer.from_merges_file(VENDORED_VOCAB)
+    if not allow_hash_fallback:
+        raise FileNotFoundError(
+            "No CLIP merge table: pass tokenizer_merges=... or run "
+            "scripts/download_clip_vocab.sh to vendor "
+            f"{VENDORED_VOCAB.name}. Refusing the hash stand-in "
+            "(allow_hash_fallback=False)."
+        )
+    import warnings
+
+    warnings.warn(
+        "CLIP merge table not found - falling back to the deterministic "
+        "HASH tokenizer. Checkpoints trained with real CLIP weights will "
+        "receive MEANINGLESS language tokens. Run "
+        "scripts/download_clip_vocab.sh or pass tokenizer_merges=... .",
+        stacklevel=2,
+    )
     return HashTokenizer()

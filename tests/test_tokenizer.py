@@ -76,3 +76,44 @@ def test_hash_tokenizer_deterministic():
     np.testing.assert_array_equal(a, b)
     assert a.shape == (1, 77)
     assert a[0, 0] == tok.sot
+
+
+def test_load_tokenizer_contract(tmp_path):
+    """Silent hash degradation is gone: explicit-missing raises, implicit
+    fallback warns loudly, allow_hash_fallback=False is a hard error."""
+    import warnings
+
+    from genima_tpu.data.tokenizer import VENDORED_VOCAB, load_tokenizer
+
+    with np.testing.assert_raises(FileNotFoundError):
+        load_tokenizer(str(tmp_path / "nope.txt"))
+
+    if not VENDORED_VOCAB.exists():
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            tok = load_tokenizer(None)
+        assert isinstance(tok, HashTokenizer)
+        assert any("HASH tokenizer" in str(w.message) for w in rec)
+        with np.testing.assert_raises(FileNotFoundError):
+            load_tokenizer(None, allow_hash_fallback=False)
+    else:
+        tok = load_tokenizer(None)
+        assert isinstance(tok, ClipTokenizer)
+
+
+def test_real_vocab_golden_ids():
+    """With the vendored OpenAI merge table: known prompt -> known ids
+    (expected values produced by openai/CLIP clip.tokenize)."""
+    import pytest
+
+    from genima_tpu.data.tokenizer import VENDORED_VOCAB, load_tokenizer
+
+    if not VENDORED_VOCAB.exists():
+        pytest.skip("real CLIP vocab not vendored (zero-egress environment);"
+                    " run scripts/download_clip_vocab.sh")
+    tok = load_tokenizer(None)
+    ids = np.asarray(tok.encode(["hello world"]))[0]
+    # clip.tokenize("hello world") == [49406, 3306, 1002, 49407, 0, ...]
+    assert ids[0] == 49406 and ids[3] == 49407
+    np.testing.assert_array_equal(ids[1:3], [3306, 1002])
+    assert ids.shape == (77,)
