@@ -81,6 +81,32 @@ class MetricLogger:
             )
             print(f"[step {step}] {parts}")
 
+    def log_images(
+        self, images: dict, step: int, prefix: str | None = None
+    ) -> None:
+        """Log HWC uint8 images to TB / wandb (JSONL backend ignores them;
+        the caller keeps PNGs on disk for that case)."""
+        import numpy as np
+
+        if self._tb is not None:
+            for k, v in images.items():
+                self._tb.add_image(
+                    f"{prefix}/{k}" if prefix else k,
+                    np.asarray(v),
+                    step,
+                    dataformats="HWC",
+                )
+        if self._wandb is not None:
+            self._wandb.log(
+                {
+                    (f"{prefix}/{k}" if prefix else k): self._wandb.Image(
+                        np.asarray(v)
+                    )
+                    for k, v in images.items()
+                },
+                step=step,
+            )
+
     def close(self) -> None:
         self._jsonl.close()
         if self._tb is not None:

@@ -81,52 +81,97 @@ def make_train_dataset(args, tokenizer):
     )
 
 
-def log_validation(pipe, params, loader, args, logger, step, variant):
-    """4-step fixed validation with normalized-MSE maps
-    (reference ``train_controlnet_genima.py:517-718``)."""
-    batch = next(iter(loader))
-    cond = jnp.asarray(batch["conditioning_pixel_values"][:1])
-    gt = batch["pixel_values"][:1]
-    ids = jnp.asarray(batch["input_ids"][:1])
-    latents = pipe.init_latents(
-        jax.random.key(args.seed or 0), 1, args.resolution, args.resolution
-    )
-    if variant == "sdxl":
-        embeds, pooled = pipe.encode_prompt(params, ids)
-        image = pipe.generate(
-            params, cond, embeds, pooled, latents,
-            jax.random.key(1), num_inference_steps=4,
-        )
-    elif variant == "pix2pix":
-        embeds = pipe.encode_prompt(params, ids)
-        image = pipe.generate(
-            params, cond * 2 - 1, embeds, latents, num_inference_steps=4
-        )
-    else:
-        embeds = pipe.encode_prompt(params, ids)
-        image = pipe.generate(
-            params, cond, embeds, latents,
-            num_inference_steps=4, guidance_scale=0.0,
-        )
-    image = np.asarray(image[0], np.float32)
-    gt_img = ((gt[0] + 1) * 127.5).astype(np.float32)
-    mse = float(np.mean((image - gt_img) ** 2))
-    logger.log_metrics({"val_mse": mse}, step, prefix="validation")
+def _validation_samples(loader, args):
+    """The reference validates on a RANDOM task/episode/image each call
+    (``train_controlnet_genima.py:575-605``, global np.random), from
+    ``validation_images_path`` when given, else the training set."""
+    samples = loader.samples
+    if getattr(args, "validation_images_path", None):
+        from genima_tpu.data.dataset import index_rendered_dataset
 
+        try:
+            samples = index_rendered_dataset(
+                args.validation_images_path,
+                tasks=args.tasks,
+                variation=args.variation,
+                num_demos=args.num_demos,
+                image_type=args.image_type,
+                conditioning_image_type=args.conditioning_image_type,
+                cameras=args.cameras,
+                tiled=args.tiled,
+            ) or samples
+        except OSError as e:
+            # a broken validation dir must not kill an hours-long fine-tune
+            print(
+                f"validation_images_path unusable ({e}); validating on "
+                "training samples instead"
+            )
+    n = max(1, int(getattr(args, "num_validation_images", 1) or 1))
+    idx = np.random.choice(len(samples), size=n, replace=len(samples) < n)
+    return [samples[int(i)] for i in idx]
+
+
+def log_validation(pipe, params, loader, args, logger, step, variant):
+    """Validation with the reference's three artifact types
+    (``train_controlnet_genima.py:517-718``): generated images on a random
+    episode, ground-truth/conditioning grids, and per-pixel normalized-MSE
+    error maps (``(gen - gt) / sqrt(mse) * 255``), 4-step guidance-0
+    sampling. Grids go to TB/wandb and PNGs to
+    ``<output>/<logging>/validation/``."""
     out_dir = Path(args.output_dir) / args.logging_dir / "validation"
     out_dir.mkdir(parents=True, exist_ok=True)
-    try:
-        from PIL import Image
+    mses, images = [], {}
+    for j, sample in enumerate(_validation_samples(loader, args)):
+        gt, cond_np = loader._load_one(sample)
+        ids = jnp.asarray(
+            np.asarray(loader.tokenizer([sample.text]), np.int32)
+        )
+        cond = jnp.asarray(cond_np[None])
+        latents = pipe.init_latents(
+            jax.random.key((args.seed or 0) + j), 1,
+            args.resolution, args.resolution,
+        )
+        if variant == "sdxl":
+            embeds, pooled = pipe.encode_prompt(params, ids)
+            image = pipe.generate(
+                params, cond, embeds, pooled, latents,
+                jax.random.key(1), num_inference_steps=4,
+            )
+        elif variant == "pix2pix":
+            embeds = pipe.encode_prompt(params, ids)
+            image = pipe.generate(
+                params, cond * 2 - 1, embeds, latents, num_inference_steps=4
+            )
+        else:
+            embeds = pipe.encode_prompt(params, ids)
+            image = pipe.generate(
+                params, cond, embeds, latents,
+                num_inference_steps=4, guidance_scale=0.0,
+            )
+        image = np.asarray(image[0], np.float32)
+        gt_img = ((gt + 1) * 127.5).astype(np.float32)
+        diff = image - gt_img
+        mse = float(np.mean(np.square(diff)))
+        mses.append(mse)
+        # reference error-map math (:641-650); the raw map is signed — shift
+        # to uint8 range for PNG/TB (wandb normalizes internally)
+        norm_mse = diff / np.sqrt(mse) if mse > 0 else diff
+        norm_mse *= 255.0
+        err_vis = np.clip(norm_mse / 2.0 + 127.5, 0, 255)
+        grid = np.concatenate(
+            [cond_np * 255.0, gt_img, image, err_vis], axis=1
+        ).astype(np.uint8)
+        images[f"sample_{j}"] = grid
+        try:
+            from PIL import Image
 
-        Image.fromarray(image.astype(np.uint8)).save(
-            out_dir / f"step{step}_gen.png"
-        )
-        Image.fromarray(gt_img.astype(np.uint8)).save(
-            out_dir / f"step{step}_gt.png"
-        )
-    except Exception:
-        pass
-    return mse
+            Image.fromarray(grid).save(out_dir / f"step{step}_val{j}.png")
+        except Exception:
+            pass
+    val_mse = float(np.mean(mses))
+    logger.log_metrics({"val_mse": val_mse}, step, prefix="validation")
+    logger.log_images(images, step, prefix="validation")
+    return val_mse
 
 
 def init_model_params(pipe, args, variant: str) -> dict:
