@@ -106,6 +106,35 @@ def convert_clip(src: Path, dst: Path) -> None:
     print(f"wrote {dst / 'params.msgpack'}")
 
 
+def convert_taesd(src: Path, dst: Path) -> None:
+    """Upstream taesd (taesd_encoder/decoder.pth, a merged dict, or a
+    diffusers AutoencoderTiny file) -> native tiny-VAE params."""
+    import jax.numpy as jnp
+
+    from genima_tpu.core.init_utils import fast_init
+    from genima_tpu.nn.vae import AutoencoderTiny
+    from genima_tpu.weights.torch_port import load_taesd, load_torch_file
+
+    if src.is_dir():
+        sd = {}
+        for tower in ("encoder", "decoder"):
+            f = next(iter(src.glob(f"*{tower}*.pt*")), None) or next(
+                iter(src.glob(f"*{tower}*.safetensors")), None
+            )
+            if f is None:
+                raise FileNotFoundError(f"no taesd_{tower} file under {src}")
+            sd.update({f"{tower}.{k}": v for k, v in load_torch_file(f).items()})
+    else:
+        sd = load_torch_file(src)
+    tiny = AutoencoderTiny()
+    target = fast_init(tiny, jax.random.key(0), jnp.zeros((1, 64, 64, 3)))[
+        "params"
+    ]
+    ported = load_taesd(sd, target)
+    ckpt.save_pytree(ported, dst / "params.msgpack")
+    print(f"wrote {dst / 'params.msgpack'}")
+
+
 def convert_resnet(src: Path, dst: Path) -> None:
     import jax.numpy as jnp
 
@@ -130,7 +159,7 @@ def main(argv=None):
         "kind",
         choices=[
             "sd_base", "sdxl_base", "controlnet", "export_controlnet",
-            "clip_vit_b32", "resnet18",
+            "clip_vit_b32", "resnet18", "taesd",
         ],
     )
     p.add_argument("--src", type=Path, required=True)
@@ -151,6 +180,8 @@ def main(argv=None):
         convert_clip(args.src, args.dst)
     elif args.kind == "resnet18":
         convert_resnet(args.src, args.dst)
+    elif args.kind == "taesd":
+        convert_taesd(args.src, args.dst)
 
 
 if __name__ == "__main__":

@@ -287,3 +287,90 @@ def load_torch_file(path: str | Path) -> dict[str, np.ndarray]:
         sd = sd.state_dict()
     return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
             for k, v in sd.items()}
+
+
+# ---------------------------------------------------------------------------
+# taesd (AutoencoderTiny) — upstream Sequential-index layout
+# ---------------------------------------------------------------------------
+
+
+def _taesd_seq_name(tower: str, path: tuple[str, ...], n_levels: int,
+                    blocks_per_level: int) -> str:
+    """flax path inside one taesd tower -> upstream Sequential key.
+
+    Upstream (madebyollin/taesd ``taesd.py``; diffusers ``AutoencoderTiny``
+    uses the same order under ``encoder.layers.N`` / ``decoder.layers.N``):
+
+    * encoder: ``[conv, Block, (conv_s2, Block*b)*L, conv]``
+    * decoder: ``[Clamp, conv, ReLU, (Block*b, Upsample, conv)*L, Block, conv]``
+    * Block:   ``conv = Sequential(conv, ReLU, conv, ReLU, conv)`` +
+      optional ``skip`` 1x1 — parameter keys ``conv.0/2/4`` and ``skip``.
+    """
+    name, *rest = path
+    if tower == "encoder":
+        if name == "conv_in":
+            idx = 0
+        elif name == "block_in":
+            idx = 1
+        elif name.startswith("down_"):
+            idx = 2 + int(name[5:]) * (blocks_per_level + 1)
+        elif name.startswith("block_"):
+            lvl, b = map(int, name[6:].split("_"))
+            idx = 2 + lvl * (blocks_per_level + 1) + 1 + b
+        elif name == "conv_out":
+            idx = 2 + n_levels * (blocks_per_level + 1)
+        else:  # pragma: no cover
+            raise KeyError(name)
+    else:
+        if name == "conv_in":
+            idx = 1  # 0 is the parameterless Clamp
+        elif name.startswith("block_") and name != "block_out":
+            lvl, b = map(int, name[6:].split("_"))
+            idx = 3 + lvl * (blocks_per_level + 2) + b
+        elif name.startswith("up_"):
+            idx = 3 + int(name[3:]) * (blocks_per_level + 2) + blocks_per_level + 1
+        elif name == "block_out":
+            idx = 3 + n_levels * (blocks_per_level + 2)
+        elif name == "conv_out":
+            idx = 3 + n_levels * (blocks_per_level + 2) + 1
+        else:  # pragma: no cover
+            raise KeyError(name)
+    parts = [str(idx)]
+    for token in rest[:-1]:
+        if token.startswith("conv_"):
+            parts += ["conv", token[5:]]  # Block's inner Sequential index
+        else:
+            parts.append(token)  # 'skip'
+    leaf = "weight" if rest[-1] == "kernel" else rest[-1]
+    return ".".join([*parts, leaf])
+
+
+def load_taesd(state_dict: dict, target_params: Any,
+               n_levels: int = 3, blocks_per_level: int = 3) -> Any:
+    """Import upstream taesd weights (raw ``taesd_*.pth`` Sequential dicts,
+    a merged ``encoder./decoder.`` dict, or diffusers ``AutoencoderTiny``
+    ``encoder.layers.``/``decoder.layers.`` names) onto the flax
+    AutoencoderTiny tree. Full coverage is a hard requirement."""
+    towers: dict[str, dict[str, np.ndarray]] = {"encoder": {}, "decoder": {}}
+    for k, v in state_dict.items():
+        for tower in towers:
+            for pref in (f"{tower}.layers.", f"{tower}."):
+                if k.startswith(pref):
+                    towers[tower][k[len(pref):]] = v
+                    break
+            else:
+                continue
+            break
+    flat = _flatten(target_params)
+    leaves = []
+    for path, leaf in flat:
+        tower, *rest = path
+        key = _taesd_seq_name(tower, tuple(rest), n_levels, blocks_per_level)
+        if key not in towers[tower]:
+            raise KeyError(
+                f"missing taesd tensor {tower}.{key} for flax param "
+                f"{'.'.join(path)}"
+            )
+        leaves.append(_to_flax_array(towers[tower][key], path[-1], leaf.shape))
+    treedef = jax.tree_util.tree_structure(target_params)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
