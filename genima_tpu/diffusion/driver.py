@@ -43,7 +43,7 @@ def build_pipeline(args, variant: str, pipe=None):
     if pipe is not None:
         return pipe
     backend = (
-        "pallas" if args.enable_xformers_memory_efficient_attention else "xla"
+        "fused" if args.enable_xformers_memory_efficient_attention else "xla"
     )
     dtype = jnp.float32 if args.mixed_precision == "no" else jnp.bfloat16
     if variant == "sd":
@@ -239,6 +239,7 @@ def run_training(args, variant: str = "sd", pipe=None) -> dict:
         adam_beta2=args.adam_beta2,
         adam_weight_decay=args.adam_weight_decay,
         adam_epsilon=args.adam_epsilon,
+        use_8bit_adam=getattr(args, "use_8bit_adam", False),
         max_grad_norm=args.max_grad_norm,
         lr_scheduler=args.lr_scheduler,
         lr_warmup_steps=args.lr_warmup_steps * n_dev,

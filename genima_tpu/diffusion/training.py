@@ -42,6 +42,9 @@ class TrainConfig:
     adam_beta2: float = 0.999
     adam_weight_decay: float = 1e-2
     adam_epsilon: float = 1e-8
+    # bitsandbytes --use_8bit_adam equivalent: blockwise int8 moments
+    # (core/optim.py), ~4x smaller optimizer state in HBM
+    use_8bit_adam: bool = False
     max_grad_norm: float = 1.0
     lr_scheduler: str = "constant"  # constant|constant_with_warmup|linear|cosine
     lr_warmup_steps: int = 500
@@ -97,16 +100,25 @@ class ControlNetTrainer:
         self.cfg = cfg
         self.mesh = mesh
         self.alphas_cumprod = jnp.asarray(make_alphas_cumprod(cfg.scheduler_config))
-        tx = optax.chain(
-            optax.clip_by_global_norm(cfg.max_grad_norm),
-            optax.adamw(
+        if cfg.use_8bit_adam:
+            from genima_tpu.core.optim import adamw_8bit
+
+            adam = adamw_8bit(
                 learning_rate=make_lr_schedule(cfg),
                 b1=cfg.adam_beta1,
                 b2=cfg.adam_beta2,
                 eps=cfg.adam_epsilon,
                 weight_decay=cfg.adam_weight_decay,
-            ),
-        )
+            )
+        else:
+            adam = optax.adamw(
+                learning_rate=make_lr_schedule(cfg),
+                b1=cfg.adam_beta1,
+                b2=cfg.adam_beta2,
+                eps=cfg.adam_epsilon,
+                weight_decay=cfg.adam_weight_decay,
+            )
+        tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), adam)
         if cfg.gradient_accumulation_steps > 1:
             tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)
         self.tx = tx

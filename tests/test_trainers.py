@@ -5,8 +5,13 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from genima_tpu.diffusion.pipeline import SDPix2PixPipeline, SDXLControlNetPipeline
+from genima_tpu.diffusion.pipeline import (
+    SDControlNetPipeline,
+    SDPix2PixPipeline,
+    SDXLControlNetPipeline,
+)
 from genima_tpu.diffusion.training import (
+    ControlNetTrainer,
     Pix2PixTrainer,
     SDXLControlNetTrainer,
     TrainConfig,
@@ -159,3 +164,78 @@ def test_lr_schedules():
                     lr_warmup_steps=10, max_train_steps=100)
     )
     assert float(cos(100)) < 1e-4
+
+
+def test_adamw_8bit_tracks_adamw():
+    """Blockwise int8 AdamW (the --use_8bit_adam knob) stays close to f32
+    AdamW over steps and shrinks the optimizer state ~4x."""
+    import optax
+
+    from genima_tpu.core.optim import adamw_8bit, optimizer_state_bytes
+
+    rng = np.random.RandomState(0)
+    params = {
+        "w": jnp.asarray(rng.randn(64, 128).astype(np.float32) * 0.1),
+        "small": jnp.asarray(rng.randn(7).astype(np.float32)),
+    }
+    tx8 = adamw_8bit(1e-2, weight_decay=1e-2)
+    txf = optax.adamw(1e-2, weight_decay=1e-2)
+    s8, sf = tx8.init(params), txf.init(params)
+    p8 = pf = params
+
+    @jax.jit
+    def step8(p, s, g):
+        u, s = tx8.update(g, s, p)
+        return optax.apply_updates(p, u), s
+
+    @jax.jit
+    def stepf(p, s, g):
+        u, s = txf.update(g, s, p)
+        return optax.apply_updates(p, u), s
+
+    for i in range(20):
+        g = {
+            "w": jnp.asarray(rng.randn(64, 128).astype(np.float32)),
+            "small": jnp.asarray(rng.randn(7).astype(np.float32)),
+        }
+        p8, s8 = step8(p8, s8, g)
+        pf, sf = stepf(pf, sf, g)
+    # small params are exact (full-precision moments)
+    np.testing.assert_allclose(
+        np.asarray(p8["small"]), np.asarray(pf["small"]), rtol=1e-5
+    )
+    # quantized params track within quantization noise
+    diff = np.abs(np.asarray(p8["w"]) - np.asarray(pf["w"]))
+    denom = np.abs(np.asarray(pf["w"] - params["w"])).mean()
+    assert diff.mean() < 0.15 * denom, (diff.mean(), denom)
+    # memory: int8 moments ~4x smaller than f32 adamw state for w
+    big8 = optimizer_state_bytes(s8)
+    bigf = optimizer_state_bytes(sf)
+    assert big8 < 0.42 * bigf, (big8, bigf)
+
+
+def test_controlnet_trainer_8bit_adam_step():
+    """The --use_8bit_adam path trains end-to-end in the jitted step."""
+    pipe = SDControlNetPipeline(
+        unet_cfg=UNetConfig.tiny(),
+        vae_cfg=VAEConfig.tiny_test(),
+        text_cfg=CLIPTextConfig.tiny(),
+        dtype=jnp.float32,
+    )
+    params = pipe.init_params(jax.random.key(0), image_size=16)
+    trainer = ControlNetTrainer(
+        pipe, TrainConfig(learning_rate=1e-4, use_8bit_adam=True)
+    )
+    state = trainer.create_state(params)
+    p0 = jax.tree_util.tree_map(np.asarray, state.params)
+    for i in range(2):
+        state, m = trainer.train_step(state, _batch(), jax.random.key(i))
+    assert np.isfinite(float(m["loss"]))
+    total_delta = sum(
+        float(np.abs(np.asarray(a) - b).sum())
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.params),
+            jax.tree_util.tree_leaves(p0),
+        )
+    )
+    assert total_delta > 0.0
