@@ -54,6 +54,13 @@ class SDControlNetPipeline:
     # step vs "xla" on v5e, numerically parity-tested. "xla" remains the
     # no-Pallas fallback.
     backend: str = "fused"
+    # VAE decoder conv backend. "xla" measured FASTER end-to-end than the
+    # fused GN-SiLU-conv3x3 Pallas kernel ("fused", kernels/fused_conv.py):
+    # isolated convs win up to 1.9x, but composed decoders lose to the
+    # stats pass + layout conversions at every custom-call boundary
+    # (PERF.md round-2 continuation; scripts/ab_fused_decode.py: 18.4 ms
+    # xla vs 41.6 ms fused).
+    conv_backend: str = "xla"
     # the reference's taesd fast-VAE knob (sd_controlnet_agent.py:44-49):
     # decode generated latents with the distilled AutoencoderTiny
     use_tiny_vae: bool = False
@@ -70,7 +77,9 @@ class SDControlNetPipeline:
             dtype=self.dtype,
             backend=self.backend,
         )
-        self.vae = AutoencoderKL(self.vae_cfg, dtype=self.dtype)
+        self.vae = AutoencoderKL(
+            self.vae_cfg, dtype=self.dtype, conv_backend=self.conv_backend
+        )
         if self.use_tiny_vae:
             from genima_tpu.nn.vae import AutoencoderTiny
 

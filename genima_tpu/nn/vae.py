@@ -123,12 +123,27 @@ class Encoder(nn.Module):
 
 
 class Decoder(nn.Module):
+    """SD VAE decoder. ``conv_backend="fused"`` routes the up-block resnets,
+    upsample convs, and the conv_out chain through the fused GN-SiLU-conv3x3
+    Pallas kernel (kernels/fused_conv.py) with an identical parameter tree
+    — the inference-path default on TPU (see SDControlNetPipeline)."""
+
     cfg: VAEConfig
     dtype: jnp.dtype = jnp.float32
+    conv_backend: str = "xla"
 
     @nn.compact
     def __call__(self, z: jax.Array) -> jax.Array:
         cfg = self.cfg
+        fused = self.conv_backend == "fused"
+        if fused:
+            from genima_tpu.nn.fused_blocks import (
+                FusedResnetBlock2D,
+                _ConvParams,
+                _GNParams,
+                fused_gn_silu_conv,
+            )
+
         reversed_channels = list(reversed(cfg.block_out_channels))
         x = nn.Conv(
             reversed_channels[0], (3, 3), padding=1, dtype=self.dtype,
@@ -137,17 +152,33 @@ class Decoder(nn.Module):
         x = VAEMidBlock(reversed_channels[0], dtype=self.dtype, name="mid_block")(x)
         for level, out_ch in enumerate(reversed_channels):
             for i in range(cfg.layers_per_block + 1):
-                x = ResnetBlock2D(
-                    out_ch, use_time_emb=False, eps=1e-6, dtype=self.dtype,
-                    name=f"up_blocks_{level}_resnets_{i}",
-                )(x)
+                name = f"up_blocks_{level}_resnets_{i}"
+                if fused:
+                    x = FusedResnetBlock2D(
+                        out_ch, dtype=self.dtype, name=name
+                    )(x)
+                else:
+                    x = ResnetBlock2D(
+                        out_ch, use_time_emb=False, eps=1e-6,
+                        dtype=self.dtype, name=name,
+                    )(x)
             if level < len(reversed_channels) - 1:
+                # upsample convs stay on XLA: measured 0.89x through the
+                # fused kernel at 512^2 (scripts/bench_fused_conv.py) — the
+                # halo reload fraction dominates at the small row bands the
+                # VMEM budget allows for these shapes
                 b, h, w, c = x.shape
                 x = jax.image.resize(x, (b, 2 * h, 2 * w, c), method="nearest")
                 x = nn.Conv(
                     out_ch, (3, 3), padding=1, dtype=self.dtype,
                     name=f"up_blocks_{level}_upsample",
                 )(x)
+        if fused:
+            gn_p = _GNParams(x.shape[-1], name="conv_norm_out")()
+            conv_p = _ConvParams(
+                x.shape[-1], cfg.out_channels, name="conv_out"
+            )()
+            return fused_gn_silu_conv(x.astype(self.dtype), gn_p, conv_p)
         x = group_norm(x.shape[-1], 1e-6, self.dtype, "conv_norm_out")(x)
         x = nn.silu(x)
         return nn.Conv(
@@ -174,10 +205,16 @@ class LatentDistribution(NamedTuple):
 class AutoencoderKL(nn.Module):
     cfg: VAEConfig
     dtype: jnp.dtype = jnp.float32
+    # "fused": decoder resnets/upsample/conv_out through the Pallas kernel
+    # (TPU inference path); "xla" for training/CPU. Parameter trees are
+    # identical, so the flag can differ between trainer and pipeline.
+    conv_backend: str = "xla"
 
     def setup(self):
         self.encoder = Encoder(self.cfg, dtype=self.dtype)
-        self.decoder = Decoder(self.cfg, dtype=self.dtype)
+        self.decoder = Decoder(
+            self.cfg, dtype=self.dtype, conv_backend=self.conv_backend
+        )
         self.quant_conv = nn.Conv(
             2 * self.cfg.latent_channels, (1, 1), dtype=self.dtype,
             name="quant_conv",

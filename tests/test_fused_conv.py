@@ -1,0 +1,115 @@
+"""Fused GN-SiLU-conv3x3 kernel: parity vs the XLA chain.
+
+CPU runs the whole-image interpret variant (shared tap/pad/affine math; the
+banded halo-DMA path is TPU-only and benchmarked by
+scripts/bench_fused_conv.py). Shapes stay tiny — the interpreter is slow.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from genima_tpu.kernels.fused_conv import (
+    _xla_reference,
+    fold_group_norm,
+    fused_conv3x3,
+    gn_silu_conv3x3,
+)
+
+pytestmark = pytest.mark.fast
+
+
+def _inputs(B=1, H=16, W=16, C=16, O=16, seed=0):
+    ks = jax.random.split(jax.random.key(seed), 7)
+    return dict(
+        x=jax.random.normal(ks[0], (B, H, W, C), jnp.float32),
+        w=jax.random.normal(ks[1], (3, 3, C, O), jnp.float32) * 0.1,
+        b=jax.random.normal(ks[2], (O,), jnp.float32),
+        gamma=jax.random.normal(ks[3], (C,)) * 0.5 + 1.0,
+        beta=jax.random.normal(ks[4], (C,)) * 0.2,
+        wskip=jax.random.normal(ks[5], (C, O)) * 0.1,
+        res=jax.random.normal(ks[6], (B, H, W, O)),
+    )
+
+
+def test_plain_conv_parity():
+    i = _inputs()
+    got = fused_conv3x3(i["x"], i["w"], i["b"], interpret=True)
+    want = _xla_reference(i["x"], i["w"], i["b"], None, None, None, None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_gn_silu_conv_parity_vs_flax():
+    """End-to-end vs the exact nn.GroupNorm -> silu -> nn.Conv chain the
+    kernel replaces in ResnetBlock2D (nn/layers.py)."""
+    i = _inputs(seed=1)
+    gn = nn.GroupNorm(num_groups=4, epsilon=1e-6)
+    h = gn.apply({"params": {"scale": i["gamma"], "bias": i["beta"]}}, i["x"])
+    h = nn.silu(h)
+    want = jax.lax.conv_general_dilated(
+        h, i["w"], (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + i["b"]
+    got = gn_silu_conv3x3(
+        i["x"], i["w"], i["b"], i["gamma"], i["beta"], groups=4,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_skip_and_residual():
+    i = _inputs(B=2, W=12, seed=2)  # W not sublane-aligned
+    scale, shift = fold_group_norm(i["x"], i["gamma"], i["beta"], 4, 1e-6)
+    got = fused_conv3x3(
+        i["x"], i["w"], i["b"], scale, shift, i["wskip"], i["res"],
+        interpret=True,
+    )
+    want = _xla_reference(
+        i["x"], i["w"], i["b"], scale, shift, i["wskip"], i["res"]
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_channel_change():
+    i = _inputs(C=24, O=8, seed=3)
+    scale, shift = fold_group_norm(i["x"], i["gamma"], i["beta"], 8, 1e-6)
+    got = fused_conv3x3(
+        i["x"], i["w"], i["b"], scale, shift, interpret=True
+    )
+    want = _xla_reference(i["x"], i["w"], i["b"], scale, shift, None, None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_grad_recomputes_through_xla():
+    i = _inputs(seed=4)
+    scale, shift = fold_group_norm(i["x"], i["gamma"], i["beta"], 4, 1e-6)
+
+    def loss_fused(x, w):
+        return jnp.sum(
+            fused_conv3x3(x, w, i["b"], scale, shift, interpret=True) ** 2
+        )
+
+    def loss_ref(x, w):
+        return jnp.sum(
+            _xla_reference(x, w, i["b"], scale, shift, None, None) ** 2
+        )
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1))(i["x"], i["w"])
+    g2 = jax.grad(loss_ref, argnums=(0, 1))(i["x"], i["w"])
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]), atol=1e-4)
+
+
+def test_fold_group_norm_matches_flax():
+    i = _inputs(seed=5)
+    scale, shift = fold_group_norm(i["x"], i["gamma"], i["beta"], 4, 1e-6)
+    gn = nn.GroupNorm(num_groups=4, epsilon=1e-6)
+    want = gn.apply(
+        {"params": {"scale": i["gamma"], "bias": i["beta"]}}, i["x"]
+    )
+    got = i["x"] * scale[:, None, None, :] + shift[:, None, None, :]
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-5
+    )
