@@ -241,6 +241,7 @@ def run_training(args, variant: str = "sd", pipe=None) -> dict:
         adam_epsilon=args.adam_epsilon,
         use_8bit_adam=getattr(args, "use_8bit_adam", False),
         max_grad_norm=args.max_grad_norm,
+        gradient_checkpointing=getattr(args, "gradient_checkpointing", False),
         lr_scheduler=args.lr_scheduler,
         lr_warmup_steps=args.lr_warmup_steps * n_dev,
         max_train_steps=max_steps * n_dev,

@@ -46,6 +46,11 @@ class TrainConfig:
     # (core/optim.py), ~4x smaller optimizer state in HBM
     use_8bit_adam: bool = False
     max_grad_norm: float = 1.0
+    # reference --gradient_checkpointing (train_controlnet_genima.py arg):
+    # rematerialize the ControlNet+UNet region in backward instead of
+    # saving its activations — trades one extra forward for the activation
+    # memory that otherwise bounds batch size at 512^2
+    gradient_checkpointing: bool = False
     lr_scheduler: str = "constant"  # constant|constant_with_warmup|linear|cosine
     lr_warmup_steps: int = 500
     max_train_steps: int = 15000
@@ -186,20 +191,30 @@ class ControlNetTrainer:
         )
         context = encoder_out.last_hidden_state
 
-        down_res, mid_res = pipe.controlnet.apply(
-            {"params": cn_params},
-            noisy.astype(pipe.dtype),
-            timesteps.astype(jnp.float32),
-            context,
+        def model_eps(cn_params, unet_params, noisy, cond):
+            down_res, mid_res = pipe.controlnet.apply(
+                {"params": cn_params},
+                noisy,
+                timesteps.astype(jnp.float32),
+                context,
+                cond,
+            )
+            return pipe.unet.apply(
+                {"params": unet_params},
+                noisy,
+                timesteps.astype(jnp.float32),
+                context,
+                down_block_additional_residuals=down_res,
+                mid_block_additional_residual=mid_res,
+            )
+
+        if cfg.gradient_checkpointing:
+            model_eps = jax.checkpoint(
+                model_eps, policy=jax.checkpoint_policies.nothing_saveable
+            )
+        eps_pred = model_eps(
+            cn_params, frozen["unet"], noisy.astype(pipe.dtype),
             cond_values.astype(pipe.dtype),
-        )
-        eps_pred = pipe.unet.apply(
-            {"params": frozen["unet"]},
-            noisy.astype(pipe.dtype),
-            timesteps.astype(jnp.float32),
-            context,
-            down_block_additional_residuals=down_res,
-            mid_block_additional_residual=mid_res,
         )
         if cfg.scheduler_config.prediction_type == "epsilon":
             target = noise
@@ -296,22 +311,32 @@ class SDXLControlNetTrainer(ControlNetTrainer):
             "time_ids": pipe.make_time_ids(bsz, self.resolution),
         }
 
-        down_res, mid_res = pipe.controlnet.apply(
-            {"params": cn_params},
-            noisy.astype(pipe.dtype),
-            timesteps.astype(jnp.float32),
-            context,
+        def model_eps(cn_params, unet_params, noisy, cond):
+            down_res, mid_res = pipe.controlnet.apply(
+                {"params": cn_params},
+                noisy,
+                timesteps.astype(jnp.float32),
+                context,
+                cond,
+                added_cond_kwargs=added,
+            )
+            return pipe.unet.apply(
+                {"params": unet_params},
+                noisy,
+                timesteps.astype(jnp.float32),
+                context,
+                down_block_additional_residuals=down_res,
+                mid_block_additional_residual=mid_res,
+                added_cond_kwargs=added,
+            )
+
+        if cfg.gradient_checkpointing:
+            model_eps = jax.checkpoint(
+                model_eps, policy=jax.checkpoint_policies.nothing_saveable
+            )
+        eps_pred = model_eps(
+            cn_params, frozen["unet"], noisy.astype(pipe.dtype),
             cond_values.astype(pipe.dtype),
-            added_cond_kwargs=added,
-        )
-        eps_pred = pipe.unet.apply(
-            {"params": frozen["unet"]},
-            noisy.astype(pipe.dtype),
-            timesteps.astype(jnp.float32),
-            context,
-            down_block_additional_residuals=down_res,
-            mid_block_additional_residual=mid_res,
-            added_cond_kwargs=added,
         )
         if cfg.scheduler_config.prediction_type == "epsilon":
             target = noise
@@ -423,12 +448,20 @@ class Pix2PixTrainer(ControlNetTrainer):
         model_in = jnp.concatenate(
             [noisy.astype(pipe.dtype), image_embeds.astype(pipe.dtype)], axis=-1
         )
-        eps_pred = pipe.unet.apply(
-            {"params": unet_params},
-            model_in,
-            timesteps.astype(jnp.float32),
-            context,
-        )
+
+        def model_eps(unet_params, model_in):
+            return pipe.unet.apply(
+                {"params": unet_params},
+                model_in,
+                timesteps.astype(jnp.float32),
+                context,
+            )
+
+        if cfg.gradient_checkpointing:
+            model_eps = jax.checkpoint(
+                model_eps, policy=jax.checkpoint_policies.nothing_saveable
+            )
+        eps_pred = model_eps(unet_params, model_in)
         if cfg.scheduler_config.prediction_type == "epsilon":
             target = noise
         else:

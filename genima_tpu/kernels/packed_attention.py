@@ -103,6 +103,216 @@ def _xla_reference(q, k, v, num_heads):
     return out.reshape(b, sq, c)
 
 
+# ---------------------------------------------------------------------------
+# training path: forward that also emits the per-row log-sum-exp, and a
+# Pallas backward (the round-2 "flash backward" gap, PARITY.md)
+# ---------------------------------------------------------------------------
+
+
+def _packed_kernel_lse(
+    q_ref, k_ref, v_ref, o_ref, l_ref, *, num_heads, sm_scale
+):
+    """Forward block identical to ``_packed_kernel`` but also writes
+    L = m + log(l) per (row, head) — the softmax normalizer the flash
+    backward needs to rebuild P without a second max/sum pass."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    d = q.shape[-1] // num_heads
+    outs, lses = [], []
+    for h in range(num_heads):
+        qh = jax.lax.slice_in_dim(q, h * d, (h + 1) * d, axis=1)
+        kh = jax.lax.slice_in_dim(k, h * d, (h + 1) * d, axis=1)
+        vh = jax.lax.slice_in_dim(v, h * d, (h + 1) * d, axis=1)
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = s * sm_scale
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append(o / l)
+        lses.append(m + jnp.log(l))  # (bq, 1)
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+    l_ref[0] = jnp.concatenate(lses, axis=-1)  # (bq, H) f32
+
+
+def _forward_with_lse(q, k, v, num_heads, block_q, interpret):
+    b, sq, c = q.shape
+    sk = k.shape[1]
+    block_q = min(block_q, sq)
+    assert sq % block_q == 0, (sq, block_q)
+    d = c // num_heads
+    grid = (b, sq // block_q)
+    kernel = functools.partial(
+        _packed_kernel_lse, num_heads=num_heads, sm_scale=1.0 / (d**0.5)
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, c), lambda bi, i: (bi, i, 0)),
+            pl.BlockSpec((1, sk, c), lambda bi, i: (bi, 0, 0)),
+            pl.BlockSpec((1, sk, c), lambda bi, i: (bi, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, c), lambda bi, i: (bi, i, 0)),
+            pl.BlockSpec((1, block_q, num_heads), lambda bi, i: (bi, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, sq, c), q.dtype),
+            jax.ShapeDtypeStruct((b, sq, num_heads), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * sq * sk * c,
+            bytes_accessed=(2 * b * sq * c + 2 * b * sk * c) * q.dtype.itemsize,
+            transcendentals=b * num_heads * sq * sk,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def _bwd_kernel(q_ref, do_ref, l_ref, dr_ref, k_ref, v_ref,
+                dq_ref, dk_ref, dv_ref, *, sm_scale, n_kb):
+    """Flash backward for one (batch*head, k-block) grid step.
+
+    q/do are (S, D) resident; k/v stream (bk, D) blocks; dq is a revisited
+    f32 output block accumulated across the k grid dimension; dk/dv are
+    written per block. L (log-sum-exp) and Drow (rowsum(do*o)) arrive
+    precomputed per row."""
+    kb = pl.program_id(1)
+
+    @pl.when(kb == 0)
+    def _init():
+        dq_ref[0] = jnp.zeros_like(dq_ref[0])
+
+    q = q_ref[0]            # (S, D) bf16
+    do = do_ref[0]          # (S, D)
+    kblk = k_ref[0]         # (bk, D)
+    vblk = v_ref[0]
+    lse = l_ref[0].reshape(-1, 1)   # (1, 1, S) block -> (S, 1) f32
+    drow = dr_ref[0].reshape(-1, 1)
+
+    s = jax.lax.dot_general(
+        q, kblk, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * sm_scale                       # (S, bk)
+    p = jnp.exp(s - lse)               # normalized probabilities
+    pb = p.astype(q.dtype)
+    # dv_blk = P^T @ do
+    dv_ref[0] = jax.lax.dot_general(
+        pb, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dv_ref.dtype)
+    # dP = do @ v^T ; dS = P * (dP - Drow) * scale
+    dp = jax.lax.dot_general(
+        do, vblk, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = (p * (dp - drow) * sm_scale).astype(q.dtype)  # (S, bk)
+    # dq += dS @ k_blk
+    dq_ref[0] += jax.lax.dot_general(
+        ds, kblk, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # dk_blk = dS^T @ q
+    dk_ref[0] = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dk_ref.dtype)
+
+
+def _flash_backward(q, k, v, o, lse, do, num_heads, interpret, block_k=128):
+    """dq, dk, dv on packed (B, S, C) tensors via the Pallas backward."""
+    b, sq, c = q.shape
+    sk = k.shape[1]
+    d = c // num_heads
+    bh = b * num_heads
+
+    def to_bh(x, s):
+        # (B, S, H, D) -> (B, H, S, D) -> (BH, S, D)
+        return (
+            x.reshape(b, s, num_heads, d)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh, s, d)
+        )
+
+    qb = to_bh(q, sq)
+    kb_ = to_bh(k, sk)
+    vb = to_bh(v, sk)
+    dob = to_bh(do.astype(q.dtype), sq)
+    ob = to_bh(o, sq)
+    # L arrives (B, S, H) -> (BH, 1, S) (the extra middle dim keeps the
+    # block's last-two dims tile-legal: (1, S))
+    lb = lse.transpose(0, 2, 1).reshape(bh, 1, sq)
+    drow = jnp.sum(
+        dob.astype(jnp.float32) * ob.astype(jnp.float32), axis=-1
+    ).reshape(bh, 1, sq)
+
+    n_kb = sk // block_k
+    kernel = functools.partial(
+        _bwd_kernel, sm_scale=1.0 / (d**0.5), n_kb=n_kb
+    )
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(bh, n_kb),
+        in_specs=[
+            pl.BlockSpec((1, sq, d), lambda bi, kb: (bi, 0, 0)),
+            pl.BlockSpec((1, sq, d), lambda bi, kb: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, sq), lambda bi, kb: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, sq), lambda bi, kb: (bi, 0, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bi, kb: (bi, kb, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bi, kb: (bi, kb, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, sq, d), lambda bi, kb: (bi, 0, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bi, kb: (bi, kb, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bi, kb: (bi, kb, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, sq, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, sk, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, sk, d), q.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * bh * sq * sk * d,
+            bytes_accessed=(4 * bh * sq * d + 4 * bh * sk * d)
+            * q.dtype.itemsize,
+            transcendentals=bh * sq * sk,
+        ),
+        interpret=interpret,
+    )(qb, dob, lb, drow, kb_, vb)
+
+    def from_bh(x, s):
+        return (
+            x.reshape(b, num_heads, s, d)
+            .transpose(0, 2, 1, 3)
+            .reshape(b, s, num_heads * d)
+        )
+
+    return (
+        from_bh(dq.astype(q.dtype), sq),
+        from_bh(dk, sk),
+        from_bh(dv, sk),
+    )
+
+
+def _bwd_kernel_applicable(q, k, block_q, block_k=128):
+    b, sq, c = q.shape
+    sk = k.shape[1]
+    if sk % block_k != 0 or sq % min(block_q, sq) != 0:
+        return False
+    # q/do resident per (batch*head): bound VMEM (f32 dq block + temps)
+    d_ = 64
+    vmem = sq * d_ * (2 + 2 + 4) + 3 * sq * block_k * 4
+    return vmem <= 12 * 2 ** 20
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def packed_flash_attention(
     q: jax.Array,
@@ -114,22 +324,40 @@ def packed_flash_attention(
 ) -> jax.Array:
     """Multi-head attention on packed (B, S, heads*head_dim) tensors.
 
-    Inference-path kernel; the backward pass recomputes through the XLA
-    fused attention (numerically exact, keeps training unchanged).
+    Training: the forward under grad also emits the per-row log-sum-exp and
+    the backward runs as a Pallas flash kernel (k-blocked, dq accumulated
+    across the k grid dimension) — the score matrices never touch HBM in
+    either direction. Shapes the backward can't tile (kv=77
+    cross-attention, very long rows) recompute through XLA instead.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu" or not _HAS_PLTPU
     return _forward(q, k, v, num_heads, block_q, interpret)
 
 
+def _resolve_interpret(interpret):
+    if interpret is None:
+        return jax.default_backend() != "tpu" or not _HAS_PLTPU
+    return interpret
+
+
 def _fwd(q, k, v, num_heads, block_q, interpret):
+    if _bwd_kernel_applicable(q, k, block_q):
+        o, lse = _forward_with_lse(
+            q, k, v, num_heads, block_q, _resolve_interpret(interpret)
+        )
+        return o, (q, k, v, o, lse)
     return packed_flash_attention(q, k, v, num_heads, block_q, interpret), (
-        q, k, v,
+        q, k, v, None, None,
     )
 
 
 def _bwd(num_heads, block_q, interpret, res, g):
-    q, k, v = res
+    q, k, v, o, lse = res
+    if lse is not None:
+        return _flash_backward(
+            q, k, v, o, lse, g, num_heads, _resolve_interpret(interpret)
+        )
     _, vjp = jax.vjp(lambda a, b, c: _xla_reference(a, b, c, num_heads), q, k, v)
     return vjp(g)
 

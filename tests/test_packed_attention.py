@@ -89,3 +89,42 @@ def test_fused_backend_small_seq_falls_back():
     out = attn_f.apply({"params": params}, x)
     assert out.shape == (1, 64, 320)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_flash_backward_multi_kblock():
+    """Pallas backward with several k blocks (dq accumulated across the k
+    grid dimension) matches the XLA vjp."""
+    kq, kk, kv = jax.random.split(jax.random.key(11), 3)
+    q = jax.random.normal(kq, (2, 256, 320), jnp.float32)
+    k = jax.random.normal(kk, (2, 256, 320), jnp.float32)
+    v = jax.random.normal(kv, (2, 256, 320), jnp.float32)
+
+    def loss_kernel(q, k, v):
+        return (packed_flash_attention(q, k, v, 5) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        return (_xla_reference(q, k, v, 5) ** 2).sum()
+
+    g1 = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_flash_backward_fallback_cross():
+    """kv=77 (cross-attention) can't tile the backward: XLA recompute."""
+    kq, kk, kv = jax.random.split(jax.random.key(12), 3)
+    q = jax.random.normal(kq, (1, 128, 320), jnp.float32)
+    k = jax.random.normal(kk, (1, 77, 320), jnp.float32)
+    v = jax.random.normal(kv, (1, 77, 320), jnp.float32)
+
+    def loss_kernel(q, k, v):
+        return (packed_flash_attention(q, k, v, 5) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        return (_xla_reference(q, k, v, 5) ** 2).sum()
+
+    g1 = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

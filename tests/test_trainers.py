@@ -239,3 +239,32 @@ def test_controlnet_trainer_8bit_adam_step():
         )
     )
     assert total_delta > 0.0
+
+
+def test_gradient_checkpointing_matches_plain():
+    """--gradient_checkpointing (remat of the cn+unet region) is a memory
+    knob only: the loss and the updated params match the plain step."""
+    pipe = SDControlNetPipeline(
+        unet_cfg=UNetConfig.tiny(),
+        vae_cfg=VAEConfig.tiny_test(),
+        text_cfg=CLIPTextConfig.tiny(),
+        dtype=jnp.float32,
+    )
+    params = pipe.init_params(jax.random.key(0), image_size=16)
+    outs = {}
+    for gc in (False, True):
+        trainer = ControlNetTrainer(
+            pipe,
+            TrainConfig(learning_rate=1e-4, gradient_checkpointing=gc),
+        )
+        state = trainer.create_state(params)
+        state, m = trainer.train_step(state, _batch(), jax.random.key(0))
+        outs[gc] = (float(m["loss"]), state.params)
+    # remat recomputation refuses bit-identity (different fusions) but must
+    # agree to float tolerance
+    np.testing.assert_allclose(outs[False][0], outs[True][0], rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(outs[False][1]),
+        jax.tree_util.tree_leaves(outs[True][1]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
