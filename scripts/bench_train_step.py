@@ -24,7 +24,13 @@ def main():
 
     backend = sys.argv[1] if len(sys.argv) > 1 else "xla"
     use8 = "--8bit" in sys.argv
-    print(f"devices: {jax.devices()}  backend={backend} 8bit={use8}", flush=True)
+    gc = "--gc" in sys.argv
+    sizes = (1, 2, 4)
+    for a in sys.argv[1:]:
+        if a.startswith("--bs="):
+            sizes = tuple(int(x) for x in a[5:].split(","))
+    print(f"devices: {jax.devices()}  backend={backend} 8bit={use8} gc={gc}",
+          flush=True)
     pipe = SDControlNetPipeline(backend=backend)
     shapes = jax.eval_shape(
         lambda: pipe.init_params(jax.random.key(0), image_size=512, fast=False)
@@ -32,10 +38,11 @@ def main():
     params = zeros_like_tree(shapes)
     trainer = ControlNetTrainer(
         pipe,
-        TrainConfig(learning_rate=1e-5, max_grad_norm=1.0, use_8bit_adam=use8),
+        TrainConfig(learning_rate=1e-5, max_grad_norm=1.0, use_8bit_adam=use8,
+                    gradient_checkpointing=gc),
     )
     state = None
-    for bs in (1, 2, 4):
+    for bs in sizes:
         del state  # free the donated-through state before reallocating
         state = trainer.create_state(params)
         from genima_tpu.core.optim import optimizer_state_bytes
