@@ -65,9 +65,19 @@ def main():
             state, m = trainer.train_step(state, batch, jax.random.key(i))
             _ = float(m["loss"])  # host readback forces completion
             times.append(time.perf_counter() - t0)
+        # chained: queue N steps, read back once — dispatch overlaps device
+        # execution, so this is true sequential device throughput (the
+        # per-call number above additionally pays the relay round-trip)
+        n_chain = 10
+        t0 = time.perf_counter()
+        for i in range(n_chain):
+            state, m = trainer.train_step(state, batch, jax.random.key(i))
+        _ = float(m["loss"])
+        chained_ms = (time.perf_counter() - t0) / n_chain * 1000
         print(
-            f"bs={bs}: {min(times)*1000:8.1f} ms/step "
-            f"({min(times)*1000/bs:7.1f} ms/sample, compile {compile_s:.0f}s)",
+            f"bs={bs}: {min(times)*1000:8.1f} ms/step per-call | "
+            f"chained {chained_ms:8.1f} ms/step "
+            f"({chained_ms/bs:7.1f} ms/sample, compile {compile_s:.0f}s)",
             flush=True,
         )
 
