@@ -169,7 +169,18 @@ class SDControlNetPipeline:
             embeds = jnp.concatenate(
                 [negative_prompt_embeds.astype(self.dtype), embeds], axis=0
             )
-            cond = jnp.concatenate([cond, cond], axis=0)
+
+        # the conditioning-embedding CNN is loop-invariant: hoist it out of
+        # the denoise body (at 10-step non-unrolled sampling recomputing it
+        # per step costs ~11 ms/generation)
+        from genima_tpu.nn.controlnet import embed_conditioning
+
+        cond_emb = embed_conditioning(
+            self.unet_cfg, self.controlnet.conditioning_scale_channels,
+            self.dtype, params["controlnet"], cond,
+        )
+        if do_cfg:
+            cond_emb = jnp.concatenate([cond_emb, cond_emb], axis=0)
 
         sample = latents * state.init_noise_sigma
 
@@ -185,8 +196,9 @@ class SDControlNetPipeline:
                 model_in,
                 tt,
                 embeds,
-                cond,
+                cond_emb,
                 conditioning_scale=controlnet_conditioning_scale,
+                cond_is_embedded=True,
             )
             eps = self.unet.apply(
                 {"params": params["unet"]},
@@ -202,7 +214,8 @@ class SDControlNetPipeline:
             return self.scheduler.step(state, eps.astype(jnp.float32), i, sample)
 
         # turbo step counts are small: full unroll lets XLA fuse across
-        # steps (~4% latency win measured on v5e)
+        # steps (~4% at 5 steps on v5e; at 10 steps unrolling measured
+        # level with the rolled loop and tripled compile time, so roll)
         sample = jax.lax.fori_loop(
             0, num_inference_steps, body, sample.astype(jnp.float32),
             unroll=num_inference_steps <= 8,
@@ -327,6 +340,12 @@ class SDXLControlNetPipeline(SDControlNetPipeline):
             "text_embeds": pooled_embeds.astype(self.dtype),
             "time_ids": self.make_time_ids(cond.shape[0], cond.shape[1]),
         }
+        from genima_tpu.nn.controlnet import embed_conditioning
+
+        cond_emb = embed_conditioning(
+            self.unet_cfg, self.controlnet.conditioning_scale_channels,
+            self.dtype, params["controlnet"], cond,
+        )
         sample = latents * state.init_noise_sigma
 
         def body(i, carry):
@@ -338,9 +357,10 @@ class SDXLControlNetPipeline(SDControlNetPipeline):
             tt = jnp.broadcast_to(t, (model_in.shape[0],))
             down_res, mid_res = self.controlnet.apply(
                 {"params": params["controlnet"]},
-                model_in, tt, embeds, cond,
+                model_in, tt, embeds, cond_emb,
                 conditioning_scale=controlnet_conditioning_scale,
                 added_cond_kwargs=added,
+                cond_is_embedded=True,
             )
             eps = self.unet.apply(
                 {"params": params["unet"]},

@@ -78,7 +78,13 @@ class ControlNetModel(nn.Module):
         controlnet_cond: jax.Array,  # (B, H, W, 3) in [0, 1]
         conditioning_scale: float = 1.0,
         added_cond_kwargs: dict | None = None,
+        cond_is_embedded: bool = False,
     ) -> tuple[list[jax.Array], jax.Array]:
+        """``cond_is_embedded=True``: ``controlnet_cond`` is the precomputed
+        (B, h, w, C0) conditioning embedding (see ``embed_conditioning``) —
+        the denoise loop hoists the embedding CNN out of the per-step body
+        (it is loop-invariant; at 10-step sampling recomputing it costs
+        ~11 ms/generation)."""
         cfg = self.cfg
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
@@ -89,12 +95,15 @@ class ControlNetModel(nn.Module):
         # trees align for from_unet initialization
         emb = apply_time_embedding(cfg, self.dtype, timesteps, added_cond_kwargs)
 
-        cond_emb = ControlNetConditioningEmbedding(
-            cfg.block_out_channels[0],
-            self.conditioning_scale_channels,
-            dtype=self.dtype,
-            name="controlnet_cond_embedding",
-        )(controlnet_cond.astype(self.dtype))
+        if cond_is_embedded:
+            cond_emb = controlnet_cond.astype(self.dtype)
+        else:
+            cond_emb = ControlNetConditioningEmbedding(
+                cfg.block_out_channels[0],
+                self.conditioning_scale_channels,
+                dtype=self.dtype,
+                name="controlnet_cond_embedding",
+            )(controlnet_cond.astype(self.dtype))
 
         # conv_in then add conditioning embedding (diffusers order)
         x = nn.Conv(
@@ -138,6 +147,23 @@ class ControlNetModel(nn.Module):
             name="controlnet_mid_block",
         )(x)
         return down_block_res, mid_res * conditioning_scale
+
+
+def embed_conditioning(
+    cfg: UNetConfig,
+    scale_channels: tuple,
+    dtype,
+    params: dict,
+    cond: jax.Array,
+) -> jax.Array:
+    """Apply just the conditioning-embedding CNN (for hoisting it out of
+    the denoise loop; pair with ``cond_is_embedded=True``)."""
+    m = ControlNetConditioningEmbedding(
+        cfg.block_out_channels[0], scale_channels, dtype=dtype
+    )
+    return m.apply(
+        {"params": params["controlnet_cond_embedding"]}, cond.astype(dtype)
+    )
 
 
 # parameter subtrees ControlNet shares with the UNet (from_unet semantics,
