@@ -71,53 +71,62 @@ def main() -> None:
     img.block_until_ready()
     print(f"compile + first gen: {time.time() - t0:.1f}s", file=sys.stderr)
 
-    # distinct inputs per iteration so no layer of the stack can dedupe
-    n_warm, n_lat, n_timed = 3, 24, 48
-    all_latents = [
-        pipe.init_latents(jax.random.key(100 + i), 1, 512, 512)
-        for i in range(n_lat)
-    ]
-    jax.block_until_ready(all_latents)
+    # ---- throughput: K generations scan-chained inside ONE program --------
+    # Sequential device dependence (iteration i+1's latents fold in a pixel
+    # of iteration i's image — ~1e-9 magnitude, workload unchanged, nothing
+    # hoistable/dedupable), fresh random latents per iteration, ONE dispatch.
+    # Measured at two lengths; the slope cancels the per-call relay
+    # round-trip exactly (a python-side chain still pays ~9 ms/gen of relay
+    # gaps on this host).
+    def scan_gens(params, lat0, length):
+        def body(carry, i):
+            fb = carry
+            lat = (
+                jax.random.normal(jax.random.fold_in(jax.random.key(7), i),
+                                  lat0.shape, lat0.dtype)
+                + fb * 1e-9
+            )
+            img = pipe.generate(
+                params, cond, embeds, lat, num_inference_steps=num_steps
+            )
+            return img[0, 0, 0, 0].astype(jnp.float32), ()
 
-    def gen(i, feedback):
-        # device-side dependence on the previous output image: the scaled
-        # feedback term is numerically ~1e-7 (doesn't change the workload)
-        # but makes iteration i+1 un-launchable before iteration i finishes
-        lat = all_latents[i % n_lat] + feedback * 1e-9
-        return pipe.generate(
-            params, cond, embeds, lat, num_inference_steps=num_steps
+        fb, _ = jax.lax.scan(
+            body, jnp.zeros((), jnp.float32), jnp.arange(length)
         )
+        return fb
 
-    feedback = jnp.zeros((), jnp.float32)
-    for i in range(n_warm):
-        img = gen(i, feedback)
-        feedback = img[0, 0, 0, 0].astype(jnp.float32)
-        _ = np.asarray(feedback)  # force completion (axon relay)
-
-    # ---- throughput: chained, single readback at the end ------------------
-    t0 = time.perf_counter()
-    for i in range(n_timed):
-        img = gen(i, feedback)
-        feedback = img[0, 0, 0, 0].astype(jnp.float32)
-    _ = np.asarray(feedback)  # forces the whole chain
-    total = time.perf_counter() - t0
-    per_gen_ms = total / n_timed * 1000
-    gens_per_sec = n_timed / total
+    runs = {}
+    for length in (4, 20):
+        f = jax.jit(scan_gens, static_argnames=("length",))
+        _ = float(np.asarray(f(params, latents, length)))  # compile
+        times = []
+        for _i in range(4):
+            t0 = time.perf_counter()
+            _ = float(np.asarray(f(params, latents, length)))
+            times.append(time.perf_counter() - t0)
+        runs[length] = min(times)
+    per_gen_ms = (runs[20] - runs[4]) / 16 * 1000
+    gens_per_sec = 1000.0 / per_gen_ms
 
     # ---- diagnostic: per-call latency with per-iteration readback ---------
     times = []
+    feedback = jnp.zeros((), jnp.float32)
     for i in range(12):
         t0 = time.perf_counter()
-        img = gen(i, feedback)
+        img = pipe.generate(
+            params, cond, embeds, latents + feedback * 1e-9,
+            num_inference_steps=num_steps,
+        )
         feedback = img[0, 0, 0, 0].astype(jnp.float32)
         _ = np.asarray(feedback)
         times.append(time.perf_counter() - t0)
     times.sort()
     p50 = times[len(times) // 2]
     print(
-        f"chained throughput: {per_gen_ms:.1f} ms/gen over {n_timed} gens | "
-        f"per-call p50 {p50*1000:.1f} ms (min {times[0]*1000:.1f}, "
-        f"max {times[-1]*1000:.1f})",
+        f"device throughput (in-program scan, slope): {per_gen_ms:.1f} ms/gen"
+        f" | per-call p50 {p50*1000:.1f} ms (min {times[0]*1000:.1f}, "
+        f"max {times[-1]*1000:.1f}; includes the relay round-trip)",
         file=sys.stderr,
     )
 
