@@ -55,7 +55,9 @@ def build_parser(variant: str) -> argparse.ArgumentParser:
     add("--lr_num_cycles", type=int, default=1)
     add("--lr_power", type=float, default=1.0)
     add("--use_8bit_adam", action="store_true",
-        help="accepted for CLI parity; optax adamw is used")
+        help="blockwise int8 Adam moments (core/optim.py): ~4x smaller "
+             "optimizer state; measured slower per step on v5e (PERF.md) — "
+             "a memory knob, as in the reference")
     add("--adam_beta1", type=float, default=0.9)
     add("--adam_beta2", type=float, default=0.999)
     add("--adam_weight_decay", type=float, default=1e-2)
