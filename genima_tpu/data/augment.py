@@ -53,9 +53,18 @@ def _hsv_to_rgb(hsv: jax.Array) -> jax.Array:
     q = v * (1.0 - s * f)
     t = v * (1.0 - s * (1.0 - f))
     i = i.astype(jnp.int32) % 6
-    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
-    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
-    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
+
+    def pick(opts):
+        # selects (VPU) — jnp.choose lowered to gathers and cost 120 ms on
+        # a (32,256,256,3) batch on v5e (PERF.md)
+        out = opts[0]
+        for idx in range(1, 6):
+            out = jnp.where(i == idx, opts[idx], out)
+        return out
+
+    r = pick([v, q, p, p, t, v])
+    g = pick([t, v, v, q, p, p])
+    b = pick([p, p, t, v, v, q])
     return jnp.stack([r, g, b], axis=-1)
 
 
@@ -128,6 +137,55 @@ def _separable_filter(images: jax.Array, k: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# bilinear warping
+# ---------------------------------------------------------------------------
+
+
+def bilinear_sample(
+    images: jax.Array,  # (B, H, W, C)
+    src_y: jax.Array,  # (H, W) float source coordinates
+    src_x: jax.Array,
+    cval: float | None = None,
+) -> jax.Array:
+    """Bilinear resampling with one shared coordinate grid.
+
+    Gathers (B, C) vectors per corner (4 gathers total) instead of
+    per-pixel-per-channel scalars — jax.scipy.ndimage.map_coordinates
+    vmapped over channels made the ACT update 52x slower than the model
+    itself on TPU (140.7 -> 2.7 ms/step at batch 8, PERF.md).
+
+    ``cval=None`` clamps to the edge (mode="nearest"); a float gives
+    constant fill outside the image (mode="constant").
+    """
+    b, h, w, c = images.shape
+    y0f = jnp.floor(src_y)
+    x0f = jnp.floor(src_x)
+    wy = (src_y - y0f)[None, :, :, None]
+    wx = (src_x - x0f)[None, :, :, None]
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x0 = jnp.clip(x0f.astype(jnp.int32), 0, w - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+
+    def g(yi, xi):
+        # adjacent advanced indices keep their position: (B, H, W, C)
+        return images[:, yi, xi, :]
+
+    out = (
+        (1 - wy) * (1 - wx) * g(y0, x0)
+        + (1 - wy) * wx * g(y0, x1)
+        + wy * (1 - wx) * g(y1, x0)
+        + wy * wx * g(y1, x1)
+    )
+    if cval is not None:
+        inside = (
+            (src_y >= 0) & (src_y <= h - 1) & (src_x >= 0) & (src_x <= w - 1)
+        )[None, :, :, None]
+        out = jnp.where(inside, out, cval)
+    return out.astype(images.dtype)
+
+
+# ---------------------------------------------------------------------------
 # elastic transform
 # ---------------------------------------------------------------------------
 
@@ -160,14 +218,7 @@ def elastic_transform(
     src_y = yy + dy * h / 2.0
     src_x = xx + dx * w / 2.0
 
-    def sample_one(img):
-        def sample_channel(ch):
-            return jax.scipy.ndimage.map_coordinates(
-                ch, [src_y, src_x], order=1, mode="nearest"
-            )
-        return jax.vmap(sample_channel, in_axes=-1, out_axes=-1)(img)
-
-    return jax.vmap(sample_one)(images)
+    return bilinear_sample(images, src_y, src_x)
 
 
 # ---------------------------------------------------------------------------
@@ -206,14 +257,7 @@ def random_affine(
     src_x = cos * x0 + sin * y0 + cx
     src_y = -sin * x0 + cos * y0 + cy
 
-    def sample_one(img):
-        def sample_channel(ch):
-            return jax.scipy.ndimage.map_coordinates(
-                ch, [src_y, src_x], order=1, mode="constant", cval=0.0
-            )
-        return jax.vmap(sample_channel, in_axes=-1, out_axes=-1)(img)
-
-    return jax.vmap(sample_one)(images)
+    return bilinear_sample(images, src_y, src_x, cval=0.0)
 
 
 def random_crop_with_pad(

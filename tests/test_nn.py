@@ -248,3 +248,30 @@ def test_unet_jit_compiles(tiny_setup):
     fn = jax.jit(lambda p, x, tt, c: unet.apply(p, x, tt, c))
     out = fn(params, lat, t, ctx)
     assert out.shape == (2, 8, 8, 4)
+
+
+def test_controlnet_precomputed_cond_embedding_matches(tiny_setup):
+    """cond_is_embedded=True with embed_conditioning() (the denoise-loop
+    hoist) is numerically identical to the raw conditioning path."""
+    from genima_tpu.nn.controlnet import embed_conditioning
+
+    cfg, unet, params, lat, t, ctx = tiny_setup
+    cn = ControlNetModel(cfg)
+    cond = jax.random.uniform(jax.random.key(5), (2, 64, 64, 3))
+    cn_params = cn.init(jax.random.key(6), lat, t, ctx, cond)["params"]
+    # make the zero-init cond-embedding conv_out non-trivial
+    cn_params = jax.tree_util.tree_map(
+        lambda a: a + 0.01, cn_params
+    )
+    down_raw, mid_raw = cn.apply({"params": cn_params}, lat, t, ctx, cond)
+    emb = embed_conditioning(
+        cfg, cn.conditioning_scale_channels, cn.dtype, cn_params, cond
+    )
+    down_pre, mid_pre = cn.apply(
+        {"params": cn_params}, lat, t, ctx, emb, cond_is_embedded=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(mid_raw), np.asarray(mid_pre), atol=1e-6
+    )
+    for a, b in zip(down_raw, down_pre):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
