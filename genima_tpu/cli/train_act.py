@@ -30,16 +30,32 @@ def build_agent(cfg):
     return GenimaACTAgent(act_cfg=act_cfg, **method)
 
 
-def load_agent_pretrained(agent, cfg, params, clip_params):
+def load_agent_pretrained(agent, cfg, params, clip_params, resumed=False):
     """Optional pretrained weights: torchvision resnet18 backbone and the
-    OpenAI CLIP text tower (the reference downloads both lazily)."""
+    OpenAI CLIP text tower (the reference downloads both lazily).
+
+    On resume, only the frozen CLIP tower is (re)loaded: the trainable
+    ResNet backbone lives in the checkpoint and must NOT be clobbered with
+    fresh torchvision weights (the reference restores the backbone from the
+    snapshot and only lazily reloads CLIP, ``genima_act.py:314-346`` — its
+    snapshots strip ``clip_model`` keys, so CLIP is the one tower that is
+    legitimately re-fetched every start)."""
     from genima_tpu.weights.torch_port import (
         load_openai_clip_text,
         load_torch_file,
         port_torch_state_dict,
     )
 
-    if cfg.get("resnet_weights") and Path(cfg.resnet_weights).exists():
+    if resumed and cfg.get("resnet_weights"):
+        print(
+            "resumed from a checkpoint: keeping the checkpointed ResNet "
+            f"backbone (ignoring resnet_weights={cfg.resnet_weights})"
+        )
+    if (
+        not resumed
+        and cfg.get("resnet_weights")
+        and Path(cfg.resnet_weights).exists()
+    ):
         sd = load_torch_file(cfg.resnet_weights)
         sd = {k: v for k, v in sd.items() if not k.startswith("fc.")}
         params["encoder"]["backbone"] = port_torch_state_dict(
@@ -90,7 +106,8 @@ def main(argv=None):
         logger=logger,
     )
     params, clip_params = load_agent_pretrained(
-        agent, cfg, workspace.state.params, agent._clip_params
+        agent, cfg, workspace.state.params, agent._clip_params,
+        resumed=workspace.resumed,
     )
     workspace.state = workspace.state._replace(params=params)
     agent._clip_params = clip_params

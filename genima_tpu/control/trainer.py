@@ -88,12 +88,14 @@ class ControllerWorkspace:
     # -- checkpointing ---------------------------------------------------------
 
     def _maybe_resume(self) -> None:
+        self.resumed = False
         latest = self.work_dir / ckpt.LATEST_NAME
         if latest.exists():
             payload = ckpt.load_epoch_checkpoint(latest)
             self._epoch = int(payload["epoch"])
             self._num_iters = int(payload["num_iters"])
             self.state = self.state._replace(params=payload["agent"])
+            self.resumed = True
             print(f"Resumed from {latest} at epoch {self._epoch}")
 
     def save_snapshot(self) -> None:

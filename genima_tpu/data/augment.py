@@ -158,6 +158,12 @@ def bilinear_sample(
     constant fill outside the image (mode="constant").
     """
     b, h, w, c = images.shape
+    if cval is None:
+        # edge clamp must happen BEFORE floor/weights: otherwise coords in
+        # (-1, 0) interpolate between rows 0 and 1 with weight up to ~1 on
+        # row 1 instead of clamping to row 0 (mode="nearest" semantics)
+        src_y = jnp.clip(src_y, 0.0, h - 1)
+        src_x = jnp.clip(src_x, 0.0, w - 1)
     y0f = jnp.floor(src_y)
     x0f = jnp.floor(src_x)
     wy = (src_y - y0f)[None, :, :, None]

@@ -456,7 +456,9 @@ def fold_group_norm(x, gamma, beta, groups: int, eps: float):
         xg.astype(jnp.float32) * xg.astype(jnp.float32), axis=(1, 3),
         dtype=jnp.float32,
     )
-    var = mean2 - mean * mean
+    # f32 cancellation can leave E[x^2]-E[x]^2 slightly negative when the
+    # mean dominates the std; rsqrt(negative+eps) would emit NaN
+    var = jnp.maximum(mean2 - mean * mean, 0.0)
     inv = jax.lax.rsqrt(var + eps)  # (B, G)
     inv_c = jnp.repeat(inv, c // groups, axis=1)
     mean_c = jnp.repeat(mean, c // groups, axis=1)

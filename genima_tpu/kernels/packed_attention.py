@@ -302,13 +302,16 @@ def _flash_backward(q, k, v, o, lse, do, num_heads, interpret, block_k=128):
     )
 
 
-def _bwd_kernel_applicable(q, k, block_q, block_k=128):
+def _bwd_kernel_applicable(q, k, block_q, num_heads, block_k=128):
     b, sq, c = q.shape
     sk = k.shape[1]
     if sk % block_k != 0 or sq % min(block_q, sq) != 0:
         return False
     # q/do resident per (batch*head): bound VMEM (f32 dq block + temps)
-    d_ = 64
+    # using the REAL head dim — a hardcoded 64 under-counted for configs
+    # with head_dim > 64, selecting the kernel only to fail at Mosaic
+    # compile time instead of falling back to the XLA recompute
+    d_ = c // num_heads
     vmem = sq * d_ * (2 + 2 + 4) + 3 * sq * block_k * 4
     return vmem <= 12 * 2 ** 20
 
@@ -342,7 +345,7 @@ def _resolve_interpret(interpret):
 
 
 def _fwd(q, k, v, num_heads, block_q, interpret):
-    if _bwd_kernel_applicable(q, k, block_q):
+    if _bwd_kernel_applicable(q, k, block_q, num_heads):
         o, lse = _forward_with_lse(
             q, k, v, num_heads, block_q, _resolve_interpret(interpret)
         )

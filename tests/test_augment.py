@@ -102,3 +102,26 @@ def test_act_recipe_runs_under_jit():
     out = run(jax.random.key(0), x)
     assert out.shape == x.shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_bilinear_sample_edge_clamp_matches_map_coordinates():
+    """cval=None must clamp coords BEFORE computing weights (mode="nearest"):
+    a source row of -0.9 reads row 0 exactly, not a 0.9-weighted row 1."""
+    from jax.scipy.ndimage import map_coordinates
+
+    img = _img(b=1, h=8, w=8)
+    yy, xx = jnp.meshgrid(
+        jnp.arange(8, dtype=jnp.float32), jnp.arange(8, dtype=jnp.float32),
+        indexing="ij",
+    )
+    src_y = yy - 0.9  # first row samples from -0.9 (outside)
+    src_x = xx + 0.7  # last col samples from 7.7 (outside)
+    got = augment.bilinear_sample(img, src_y, src_x, cval=None)
+    want = jnp.stack(
+        [
+            map_coordinates(img[0, :, :, c], [src_y, src_x], order=1, mode="nearest")
+            for c in range(3)
+        ],
+        axis=-1,
+    )[None]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)

@@ -354,3 +354,52 @@ def test_eval_loads_pretrained_clip(tmp_path):
     # no clip configured anywhere -> unchanged (scratch-trained controller)
     same = load_eval_clip({}, None, clip_random)
     assert same is clip_random
+
+
+def test_train_act_resume_keeps_checkpointed_backbone(tmp_path):
+    """Restarting with resnet_weights set must NOT clobber the trained
+    backbone with fresh torchvision weights (the reference restores the
+    backbone from the snapshot; only frozen CLIP is lazily reloaded,
+    genima_act.py:314-346)."""
+    from genima_tpu.cli import train_act
+
+    work = tmp_path / "ctrl"
+    tiny = [
+        f"work_dir={work}",
+        "env.factory=fake",
+        "env.task=fake_reach",
+        "env.image_size=32",
+        "env.episode_length=30",
+        "num_train_epochs=1",
+        "checkpoint_every=1",
+        "num_demos=2",
+        "batch_size=4",
+        "action_sequence=8",
+        "method.image_size=32",
+        "+method.resnet_width=8",
+        "method.act_cfg.hidden_dim=32",
+        "method.act_cfg.enc_layers=1",
+        "method.act_cfg.dec_layers=1",
+        "method.act_cfg.dim_feedforward=64",
+        "method.act_cfg.nheads=2",
+        "method.act_cfg.latent_dim=8",
+        "method.act_cfg.lang_dim=16",
+        "method.data_augmentation=false",
+    ]
+    train_act.main(tiny)
+    payload = ckpt.load_epoch_checkpoint(work / "latest.ckpt")
+
+    # second start resumes; the dummy weights file is garbage on purpose —
+    # if the clobber path ran, load_torch_file would explode on it
+    dummy = tmp_path / "resnet18.pth"
+    dummy.write_bytes(b"not a torch file")
+    ws = train_act.main(tiny + [f"resnet_weights={dummy}"])
+    assert ws.resumed
+
+    import jax
+
+    got = jax.tree_util.tree_leaves(ws.state.params["encoder"])
+    want = jax.tree_util.tree_leaves(payload["agent"]["encoder"])
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
