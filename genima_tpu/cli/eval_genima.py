@@ -87,6 +87,9 @@ def build_eval_env(eval_cfg, train_cfg, stats_path):
     factory = make_factory(env_cfg)
     fs = (train_cfg or {}).get("frame_stack", 1)
     seq = (train_cfg or {}).get("action_sequence", 20)
+    # use_onehot_time follows the TRAIN config (the wrapper changed the
+    # observation space the controller was trained on); eval re-applies it
+    onehot = bool((train_cfg or {}).get("use_onehot_time", False))
     return factory.make_eval_env(
         episode_length=eval_cfg.get("episode_length", 200),
         frame_stack=fs,
@@ -94,6 +97,10 @@ def build_eval_env(eval_cfg, train_cfg, stats_path):
         stats_path=str(stats_path),
         action_stats=None,  # reload from the persisted JSON (eval contract)
         proprio_stats=None,
+        use_onehot_time=onehot,
+        # multi-task checkpoints: evaluate the task the eval config names,
+        # not train_tasks[0]
+        task_name=env_cfg.get("task"),
     )
 
 

@@ -24,7 +24,15 @@ def build_agent(cfg):
 
     method = dict(cfg.method)
     method.pop("_target_", None)
-    act_cfg = ACTConfig(**{k: v for k, v in method.pop("act_cfg").items()})
+    act_kwargs = {k: v for k, v in method.pop("act_cfg").items()}
+    if cfg.get("use_onehot_time", False):
+        # OnehotTime appends an episode_length-long one-hot to
+        # low_dim_state; the proprio projection input grows to match
+        # (robobase sizes the network from the wrapped obs space)
+        act_kwargs["state_dim"] = int(act_kwargs.get("state_dim", 8)) + int(
+            cfg.env.get("episode_length", 200)
+        )
+    act_cfg = ACTConfig(**act_kwargs)
     from genima_tpu.control.policy import GenimaACTAgent
 
     return GenimaACTAgent(act_cfg=act_cfg, **method)

@@ -47,25 +47,25 @@ class ControllerWorkspace:
         self.mesh = mesh
         self.logger = logger or MetricLogger(self.work_dir)
 
-        # demos + stats (reference :111 + rlbench.py:301-383)
+        # demos + stats, pooled across env.train_tasks
+        # (reference :111 + rlbench.py:301-383, _get_demo_fn :78-85)
         demos = factory.collect_or_fetch_demos(num_demos)
         assert len(demos) > 0, "no demonstrations collected"
 
-        # language conditioning: tokenize the task description into the
-        # demos' lang_tokens (reference rlbench_utils.py:156-157)
+        # language conditioning: EACH episode's own variation description is
+        # tokenized into its lang_tokens at ingestion (reference
+        # rlbench_utils.py:156-157) — with task variations or multi-task
+        # training every episode may carry different text
         from genima_tpu.data.tokenizer import load_tokenizer
 
         tokenizer = load_tokenizer(cfg.get("tokenizer_merges"))
-        desc = demos[0][0].misc.get("descriptions", "")
-        if isinstance(desc, (list, tuple)):
-            desc = desc[0] if desc else ""
-        lang_tokens = tokenizer([str(desc)])[0].astype(np.int32)
 
         # eval env created once to persist stats JSON + validate spaces
         env = factory.make_eval_env(
             frame_stack=cfg.get("frame_stack", 1),
             action_sequence=cfg.get("action_sequence", 20),
             stats_path=str(self.work_dir),
+            use_onehot_time=cfg.get("use_onehot_time", False),
         )
         env.close()
 
@@ -77,7 +77,14 @@ class ControllerWorkspace:
             # sharded batches must divide the mesh; drop ragged tails
             drop_last=mesh is not None,
         )
-        factory.load_demos_into_replay(self.replay, lang_tokens=lang_tokens)
+        onehot_len = (
+            int(cfg.env.get("episode_length", 200))
+            if cfg.get("use_onehot_time", False)
+            else None
+        )
+        factory.load_demos_into_replay(
+            self.replay, tokenizer=tokenizer, onehot_time_len=onehot_len
+        )
 
         params, clip_params = agent.init_params(jax.random.key(cfg.get("seed", 0)))
         self.state = agent.create_state(params, clip_params)

@@ -109,6 +109,7 @@ def demo_to_episode(
     action_stats: dict,
     proprio_stats: dict,
     lang_tokens: np.ndarray | None = None,
+    onehot_time_len: int | None = None,
 ) -> dict:
     """Convert a demo into normalized replay-buffer arrays.
 
@@ -130,18 +131,24 @@ def demo_to_episode(
         ]
     )
     images, low_dims = [], []
-    for step in demo[:T]:
+    for t, step in enumerate(demo[:T]):
         obs = step.observation
         # CHW (reference obs layout) -> HWC per camera
         views = np.stack(
             [np.transpose(obs[f"{cam}_rgb"], (1, 2, 0)) for cam in cameras]
         )
         images.append(views)
-        low_dims.append(
-            NormProprioFromStats.transform_to_norm(
-                obs["low_dim_state"], proprio_stats["mean"], proprio_stats["std"]
-            )
+        low_dim = NormProprioFromStats.transform_to_norm(
+            obs["low_dim_state"], proprio_stats["mean"], proprio_stats["std"]
         )
+        if onehot_time_len:
+            # demos go through the same wrapper stack as rollouts in the
+            # reference (rlbench_utils.py:220-254); OnehotTime appends the
+            # time index AFTER proprio normalization (wrapper order)
+            onehot = np.zeros(onehot_time_len, np.float32)
+            onehot[min(t, onehot_time_len - 1)] = 1.0
+            low_dim = np.concatenate([low_dim, onehot])
+        low_dims.append(low_dim)
     rewards = np.zeros(T, np.float32)
     rewards[-1] = 1.0
     return {
@@ -153,3 +160,53 @@ def demo_to_episode(
             lang_tokens if lang_tokens is not None else np.zeros(77, np.int32)
         ),
     }
+
+
+def demo_description(demo: List[DemoStep]) -> str:
+    """The episode's own variation description, from the first step's misc
+    (the reference stamps ``misc["descriptions"]`` on every timestep at
+    conversion, ``rlbench_utils.py:16-27``, and tokenizes it per obs,
+    ``rlbench_utils.py:156-157``)."""
+    for step in demo:
+        desc = step.misc.get("descriptions")
+        if desc:
+            return desc[0] if isinstance(desc, (list, tuple)) else str(desc)
+    return ""
+
+
+def load_demos_into_replay(
+    buffer,
+    demos: List[List[DemoStep]],
+    cameras: list[str],
+    action_stats: dict,
+    proprio_stats: dict,
+    lang_tokens: np.ndarray | None = None,
+    tokenizer=None,
+    onehot_time_len: int | None = None,
+) -> None:
+    """Ingest demos, tokenizing EACH episode's own description into its
+    lang_tokens (per-episode language conditioning; with task variations or
+    multi-task training every episode may carry different text —
+    reference ``rlbench_utils.py:156-157``). A fixed ``lang_tokens`` array
+    overrides per-episode tokenization when given (tests / no tokenizer)."""
+    token_cache: dict[str, np.ndarray] = {}
+    for demo in demos:
+        ep_tokens = lang_tokens
+        if ep_tokens is None and tokenizer is not None:
+            desc = demo_description(demo)
+            if desc not in token_cache:
+                token_cache[desc] = np.asarray(
+                    tokenizer([desc])[0], np.int32
+                )
+            ep_tokens = token_cache[desc]
+        ep = demo_to_episode(
+            demo, cameras, action_stats, proprio_stats, ep_tokens,
+            onehot_time_len=onehot_time_len,
+        )
+        buffer.add_episode(
+            images=ep["images"],
+            low_dim_state=ep["low_dim_state"],
+            actions=ep["actions"],
+            rewards=ep["rewards"],
+            lang_tokens=ep["lang_tokens"],
+        )

@@ -192,20 +192,50 @@ class FakeRLBenchEnv(gym.Env):
 
 class FakeRLBenchFactory:
     """Mirrors GenimaRLBenchFactory's API for the fake env
-    (``controller/env/rlbench.py:255-383``)."""
+    (``controller/env/rlbench.py:255-383``).
 
-    def __init__(self, **env_kwargs):
+    Multi-task: pass ``task_names=[...]`` and demos are collected per task
+    (``num_demos`` each, pooled — the reference ``_get_demo_fn`` loop,
+    ``rlbench.py:78-85``) with each task's own description stamped into
+    every step's ``misc["descriptions"]``. Stats are computed over the
+    pooled demos, exactly as RoboBase pools them."""
+
+    def __init__(self, task_names=None, **env_kwargs):
         self.env_kwargs = env_kwargs
+        self.task_names = list(
+            task_names
+            if task_names
+            else [env_kwargs.get("task_name", "fake_reach")]
+        )
         self._raw_demos = None
         self.action_stats = None
         self.proprio_stats = None
 
-    def make_env(self) -> FakeRLBenchEnv:
-        return FakeRLBenchEnv(**self.env_kwargs)
+    def _task_kwargs(self, task_name: str) -> dict:
+        kw = dict(self.env_kwargs)
+        kw["task_name"] = task_name
+        # distinct description + distinct episode stream per task
+        kw.setdefault(
+            "descriptions", (f"{task_name.replace('_', ' ')} task",)
+        )
+        idx = (
+            self.task_names.index(task_name)
+            if task_name in self.task_names
+            else 0
+        )
+        kw["seed"] = kw.get("seed", 0) + idx * 7919
+        return kw
+
+    def make_env(self, task_name: str | None = None) -> FakeRLBenchEnv:
+        return FakeRLBenchEnv(
+            **self._task_kwargs(task_name or self.task_names[0])
+        )
 
     def collect_or_fetch_demos(self, num_demos: int):
-        env = self.make_env()
-        self._raw_demos = env.get_demos(num_demos)
+        self._raw_demos = []
+        for task in self.task_names:
+            env = self.make_env(task)
+            self._raw_demos.extend(env.get_demos(num_demos))
         self.action_stats = compute_action_stats(self._raw_demos)
         self.proprio_stats = compute_proprio_stats(self._raw_demos)
         return self._raw_demos
@@ -213,10 +243,10 @@ class FakeRLBenchFactory:
     def make_eval_env(self, *, episode_length=None, frame_stack=1,
                       action_sequence=20, stats_path=None,
                       action_stats=None, proprio_stats=None,
-                      use_onehot_time=False):
+                      use_onehot_time=False, task_name=None):
         from genima_tpu.envs.wrappers import wrap_env
 
-        env = self.make_env()
+        env = self.make_env(task_name)
         return wrap_env(
             env,
             episode_length=episode_length or env.episode_length,
@@ -230,22 +260,23 @@ class FakeRLBenchFactory:
             use_onehot_time=use_onehot_time,
         )
 
-    def load_demos_into_replay(self, buffer, cameras=CAMERAS, lang_tokens=None):
-        from genima_tpu.envs.demo import demo_to_episode
+    def load_demos_into_replay(
+        self, buffer, cameras=CAMERAS, lang_tokens=None, tokenizer=None,
+        onehot_time_len=None,
+    ):
+        from genima_tpu.envs.demo import load_demos_into_replay
 
         assert self._raw_demos is not None, "collect_or_fetch_demos first"
-        for demo in self._raw_demos:
-            ep = demo_to_episode(
-                demo, list(cameras), self.action_stats, self.proprio_stats,
-                lang_tokens,
-            )
-            buffer.add_episode(
-                images=ep["images"],
-                low_dim_state=ep["low_dim_state"],
-                actions=ep["actions"],
-                rewards=ep["rewards"],
-                lang_tokens=ep["lang_tokens"],
-            )
+        load_demos_into_replay(
+            buffer,
+            self._raw_demos,
+            list(cameras),
+            self.action_stats,
+            self.proprio_stats,
+            lang_tokens=lang_tokens,
+            tokenizer=tokenizer,
+            onehot_time_len=onehot_time_len,
+        )
 
 
 def make_vector_train_env(factory, num_envs: int = 2, **wrap_kwargs):

@@ -202,7 +202,11 @@ if RLBENCH_AVAILABLE:  # pragma: no cover - exercised only with a simulator
                 False
             ), {}
 
-        def get_demos(self, n: int) -> list[list[DemoStep]]:
+        def get_demos(self, n: int, desc: str | None = None) -> list[list[DemoStep]]:
+            """``desc`` is stamped into every step's ``misc["descriptions"]``
+            (the reference stamps the task's reset description at conversion,
+            ``rlbench_utils.py:16-27``, so each episode carries its own text
+            for per-episode language conditioning)."""
             self._launch()
             raw = self._task.get_demos(n, live_demos=False)
             demos = []
@@ -214,6 +218,9 @@ if RLBENCH_AVAILABLE:  # pragma: no cover - exercised only with a simulator
                         "the dataset with a recent RLBench "
                         "(reference rlbench.py:196-206)"
                     )
+                    misc = dict(ts.misc)
+                    if desc is not None:
+                        misc["descriptions"] = desc
                     steps.append(
                         DemoStep(
                             joint_positions=np.asarray(ts.joint_positions),
@@ -230,7 +237,7 @@ if RLBENCH_AVAILABLE:  # pragma: no cover - exercised only with a simulator
                                 ).astype(np.float32),
                             },
                             gripper_matrix=np.asarray(ts.gripper_matrix),
-                            misc=dict(ts.misc),
+                            misc=misc,
                         )
                     )
                 demos.append(steps)
@@ -242,40 +249,104 @@ if RLBENCH_AVAILABLE:  # pragma: no cover - exercised only with a simulator
                 self._env = None
 
 
+def _collect_demos_child(kwargs, task_names, n, out):
+    """Child-process body: the sim launches once here, collects ``n`` demos
+    per task (the reference ``_get_demo_fn`` loop, ``rlbench.py:78-85``),
+    each task's reset description stamped into its episodes' misc."""
+    for task in task_names:
+        task_kwargs = dict(kwargs, task_name=task)
+        env = GenimaRLBenchEnv(**task_kwargs)
+        _, info = env.reset()
+        desc = info.get("descriptions", task.replace("_", " "))
+        out.extend(env.get_demos(n, desc=desc))
+        print(f"Loaded demos for {task}, total num of demos: {len(out)}")
+        env.close()
+
+
 class GenimaRLBenchFactory:
     """Factory with the FakeRLBenchFactory interface over the real sim.
 
     Demo collection runs in a child process (the sim cannot be launched
-    twice in-process; reference ``rlbench.py:301-316``).
+    twice in-process; reference ``rlbench.py:301-316``). Multi-task: pass
+    ``task_names=[...]`` and ``num_demos`` are collected per task, pooled,
+    with each task's own description on its episodes.
+
+    The "fetch" half (the reference's cache the method name promises):
+    collected demos are pickled to ``<demo_cache_dir>/demos_<task>_<n>.pkl``
+    and loaded from there on re-runs instead of re-running the simulator.
     """
 
-    def __init__(self, **env_kwargs):
+    def __init__(self, task_names=None, demo_cache_dir=None, **env_kwargs):
         _require_rlbench()
         self.env_kwargs = env_kwargs
+        self.task_names = list(
+            task_names if task_names else [env_kwargs["task_name"]]
+        )
+        self.demo_cache_dir = demo_cache_dir
         self._raw_demos = None
         self.action_stats = None
         self.proprio_stats = None
 
-    def make_env(self):
-        return GenimaRLBenchEnv(**self.env_kwargs)
+    def make_env(self, task_name: str | None = None):
+        kwargs = dict(self.env_kwargs)
+        kwargs["task_name"] = task_name or self.task_names[0]
+        return GenimaRLBenchEnv(**kwargs)
+
+    # -- demo cache ("fetch") ---------------------------------------------
+
+    def _cache_path(self, task: str, n: int):
+        from pathlib import Path
+
+        if not self.demo_cache_dir:
+            return None
+        return Path(self.demo_cache_dir) / f"demos_{task}_{n}.pkl"
+
+    def _fetch_cached(self, num_demos: int):
+        """All-or-nothing cache read: every task must be cached."""
+        import pickle
+
+        demos = []
+        for task in self.task_names:
+            path = self._cache_path(task, num_demos)
+            if path is None or not path.exists():
+                return None
+            with open(path, "rb") as f:
+                demos.extend(pickle.load(f))
+            print(f"Fetched cached demos for {task} from {path}")
+        return demos
+
+    def _store_cache(self, demos, num_demos: int):
+        import pickle
+
+        if not self.demo_cache_dir:
+            return
+        per_task = len(demos) // len(self.task_names)
+        for i, task in enumerate(self.task_names):
+            path = self._cache_path(task, num_demos)
+            path.parent.mkdir(parents=True, exist_ok=True)
+            with open(path, "wb") as f:
+                pickle.dump(demos[i * per_task : (i + 1) * per_task], f)
 
     def collect_or_fetch_demos(self, num_demos: int):
-        import multiprocessing as mp
+        demos = self._fetch_cached(num_demos)
+        if demos is None:
+            import multiprocessing as mp
 
-        manager = mp.Manager()
-        demo_list = manager.list()
-
-        def _collect(kwargs, n, out):
-            env = GenimaRLBenchEnv(**kwargs)
-            out.extend(env.get_demos(n))
-            env.close()
-
-        p = mp.Process(
-            target=_collect, args=(self.env_kwargs, num_demos, demo_list)
-        )
-        p.start()
-        p.join()
-        self._raw_demos = list(demo_list)
+            manager = mp.Manager()
+            demo_list = manager.list()
+            p = mp.Process(
+                target=_collect_demos_child,
+                args=(self.env_kwargs, self.task_names, num_demos, demo_list),
+            )
+            p.start()
+            p.join()
+            demos = list(demo_list)
+            assert demos, (
+                "demo collection produced no demos — the simulator child "
+                "process failed (see its traceback above)"
+            )
+            self._store_cache(demos, num_demos)
+        self._raw_demos = demos
         self.action_stats = compute_action_stats(self._raw_demos)
         self.proprio_stats = compute_proprio_stats(self._raw_demos)
         return self._raw_demos
@@ -283,10 +354,10 @@ class GenimaRLBenchFactory:
     def make_eval_env(self, *, episode_length=200, frame_stack=1,
                       action_sequence=20, stats_path=None,
                       action_stats=None, proprio_stats=None,
-                      use_onehot_time=False):
+                      use_onehot_time=False, task_name=None):
         from genima_tpu.envs.wrappers import wrap_env
 
-        env = self.make_env()
+        env = self.make_env(task_name)
         return wrap_env(
             env,
             episode_length=episode_length,
@@ -298,40 +369,74 @@ class GenimaRLBenchFactory:
             use_onehot_time=use_onehot_time,
         )
 
-    def load_demos_into_replay(self, buffer, cameras=None, lang_tokens=None):
-        from genima_tpu.envs.demo import demo_to_episode
+    def make_train_env(self, num_train_envs: int = 1, **wrap_kwargs):
+        """Subprocess-vectorized train envs over the real sim (the
+        reference's ``gym.vector.AsyncVectorEnv``, ``rlbench.py:256-264``).
+        BC training never steps them; the surface exists for parity."""
+        import gymnasium as gym
+
+        def _make():
+            return self.make_eval_env(**wrap_kwargs)
+
+        return gym.vector.AsyncVectorEnv(
+            [_make for _ in range(num_train_envs)]
+        )
+
+    def load_demos_into_replay(
+        self, buffer, cameras=None, lang_tokens=None, tokenizer=None,
+        onehot_time_len=None,
+    ):
+        from genima_tpu.envs.demo import load_demos_into_replay
 
         cameras = cameras or self.env_kwargs.get(
             "cameras", ["wrist", "front", "right_shoulder", "left_shoulder"]
         )
-        for demo in self._raw_demos:
-            ep = demo_to_episode(
-                demo, list(cameras), self.action_stats, self.proprio_stats,
-                lang_tokens,
-            )
-            buffer.add_episode(
-                images=ep["images"],
-                low_dim_state=ep["low_dim_state"],
-                actions=ep["actions"],
-                rewards=ep["rewards"],
-                lang_tokens=ep["lang_tokens"],
-            )
+        load_demos_into_replay(
+            buffer,
+            self._raw_demos,
+            list(cameras),
+            self.action_stats,
+            self.proprio_stats,
+            lang_tokens=lang_tokens,
+            tokenizer=tokenizer,
+            onehot_time_len=onehot_time_len,
+        )
+
+
+def _train_tasks(env_cfg: dict) -> list[str]:
+    """``env.train_tasks`` (list or comma-separated string — the reference
+    README: "For multi-task training just provide a comma-separated list"),
+    falling back to the single ``env.task``."""
+    tasks = env_cfg.get("train_tasks")
+    if tasks:
+        if isinstance(tasks, str):
+            tasks = [t.strip() for t in tasks.split(",") if t.strip()]
+        return list(tasks)
+    return [env_cfg.get("task", "fake_reach")]
 
 
 def make_factory(env_cfg: dict):
-    """Factory dispatch: real RLBench when requested+available, fake for CI."""
+    """Factory dispatch: real RLBench when requested+available, fake for CI.
+
+    Consumes ``env.train_tasks`` (reference ``controller.yaml:25``): one
+    pooled demo collection across all listed tasks, the released flagship
+    being a 25-task agent (reference README.md:52)."""
     kind = env_cfg.get("factory", "rlbench")
+    tasks = _train_tasks(env_cfg)
     if kind == "fake":
         from genima_tpu.envs.fake import FakeRLBenchFactory
 
         return FakeRLBenchFactory(
-            task_name=env_cfg.get("task", "fake_reach"),
+            task_names=tasks,
+            task_name=tasks[0],
             episode_length=env_cfg.get("episode_length", 60),
             image_size=env_cfg.get("image_size", 64),
         )
     _require_rlbench()
     return GenimaRLBenchFactory(
-        task_name=env_cfg["task"],
+        task_names=tasks,
+        task_name=tasks[0],
+        demo_cache_dir=env_cfg.get("demo_cache_dir"),
         cameras=tuple(env_cfg.get(
             "cameras", ("wrist", "front", "right_shoulder", "left_shoulder")
         )),

@@ -1,0 +1,208 @@
+"""Multi-task controller training (reference ``controller.yaml:25``
+``train_tasks``, ``rlbench.py:78-85`` per-task demo collection; the released
+flagship checkpoint is a 25-task agent, reference README.md:52).
+
+Covers the round-2 VERDICT asks: demos collected per task and pooled, each
+episode's OWN description tokenized into its lang_tokens at ingestion
+(``rlbench_utils.py:156-157``), stats pooled across tasks, eval running
+per-task from the single checkpoint, and ``env.train_tasks`` actually
+consumed by ``make_factory``.
+"""
+
+import numpy as np
+import pytest
+
+from genima_tpu.control.replay import EpochReplayBuffer
+from genima_tpu.control.trainer import ControllerWorkspace
+from genima_tpu.core.config import Config
+from genima_tpu.data.tokenizer import HashTokenizer
+from genima_tpu.envs import FakeRLBenchFactory
+from genima_tpu.envs.demo import demo_description
+from genima_tpu.envs.rlbench import make_factory
+
+pytestmark = pytest.mark.fast
+
+TASKS = ["open_box", "close_jar"]
+
+
+def _factory():
+    return FakeRLBenchFactory(
+        task_names=TASKS, image_size=32, demo_length=10, episode_length=30
+    )
+
+
+def test_collects_demos_per_task_with_own_descriptions():
+    f = _factory()
+    demos = f.collect_or_fetch_demos(2)
+    assert len(demos) == 4  # num_demos PER task, pooled
+    descs = [demo_description(d) for d in demos]
+    assert descs[0] == descs[1] == "open box task"
+    assert descs[2] == descs[3] == "close jar task"
+    # stats pooled over all tasks' demos
+    assert f.action_stats["mean"].shape == (8,)
+
+
+def test_ingestion_tokenizes_each_episodes_own_description():
+    f = _factory()
+    f.collect_or_fetch_demos(2)
+    buf = EpochReplayBuffer(batch_size=4, action_sequence=5)
+    tok = HashTokenizer()
+    f.load_demos_into_replay(buf, tokenizer=tok)
+    assert buf.num_episodes == 4
+    t0 = buf._episodes[0].lang_tokens
+    t2 = buf._episodes[2].lang_tokens
+    np.testing.assert_array_equal(t0, buf._episodes[1].lang_tokens)
+    np.testing.assert_array_equal(t2, buf._episodes[3].lang_tokens)
+    assert not np.array_equal(t0, t2)  # different tasks -> different text
+    np.testing.assert_array_equal(t0, tok(["open box task"])[0])
+    np.testing.assert_array_equal(t2, tok(["close jar task"])[0])
+
+
+def test_make_factory_consumes_train_tasks():
+    f = make_factory(
+        {
+            "factory": "fake",
+            "train_tasks": TASKS,
+            "task": "open_box",
+            "image_size": 32,
+        }
+    )
+    assert f.task_names == TASKS
+    # comma-separated string form (reference README.md:233)
+    f2 = make_factory(
+        {"factory": "fake", "train_tasks": "open_box, close_jar", "task": "x"}
+    )
+    assert f2.task_names == TASKS
+    # fallback: single env.task when train_tasks is absent/null
+    f3 = make_factory({"factory": "fake", "task": "open_box"})
+    assert f3.task_names == ["open_box"]
+
+
+@pytest.fixture(scope="module")
+def multitask_workspace(tmp_path_factory):
+    from genima_tpu.control.policy import GenimaACTAgent
+    from genima_tpu.nn.act import ACTConfig
+    from genima_tpu.nn.clip_text import CLIPTextConfig
+
+    work_dir = tmp_path_factory.mktemp("mt_ckpt")
+    factory = FakeRLBenchFactory(
+        task_names=TASKS, image_size=32, demo_length=10, episode_length=30
+    )
+    agent = GenimaACTAgent(
+        act_cfg=ACTConfig.tiny(num_queries=5, kl_weight=1.0),
+        clip_cfg=CLIPTextConfig.tiny(projection_dim=16),
+        image_size=32,
+        resnet_width=8,
+        num_views=4,
+        lr=3e-4,
+        lr_backbone=3e-4,
+        data_augmentation=False,
+    )
+    cfg = Config.from_dict(
+        {
+            "num_train_epochs": 1,
+            "checkpoint_every": 1,
+            "batch_size": 4,
+            "action_sequence": 5,
+            "frame_stack": 1,
+            "seed": 0,
+        }
+    )
+    ws = ControllerWorkspace(cfg, agent, factory, work_dir, num_demos=2)
+    ws.train()
+    return ws, factory, agent, work_dir
+
+
+def test_multitask_replay_contains_both_tasks(multitask_workspace):
+    ws, *_ = multitask_workspace
+    eps = ws.replay._episodes
+    assert len(eps) == 4
+    assert not np.array_equal(eps[0].lang_tokens, eps[2].lang_tokens)
+
+
+def test_eval_runs_per_task_from_one_checkpoint(multitask_workspace):
+    from genima_tpu.eval.harness import GenimaEvalWorkspace
+
+    ws, factory, agent, work_dir = multitask_workspace
+    for task in TASKS:
+        eval_env = factory.make_eval_env(
+            frame_stack=1,
+            action_sequence=5,
+            stats_path=str(work_dir),
+            task_name=task,
+        )
+        assert eval_env.unwrapped.task_name == task
+        eval_cfg = Config.from_dict(
+            {
+                "task": task,
+                "controller_ckpt": str(work_dir),
+                "eval_type": "latest",
+                "num_eval_episodes": 1,
+                "execution_horizon": 5,
+                "episode_length": 20,
+                "save_video": False,
+            }
+        )
+        harness = GenimaEvalWorkspace(
+            eval_cfg, eval_env, agent, diffusion_agent=None
+        )
+        logs = harness.eval()
+        assert logs["results"]["total_episodes"] == 1
+        assert (work_dir / f"eval_genima_{task}.json").exists()
+
+
+def test_eval_task_outside_train_list_still_builds():
+    f = _factory()
+    f.collect_or_fetch_demos(1)
+    env = f.make_eval_env(action_sequence=5, task_name="unseen_task")
+    assert env.unwrapped.task_name == "unseen_task"
+    env.close()
+
+
+def test_onehot_time_train_to_eval_e2e(tmp_path):
+    """use_onehot_time plumbed end to end: demo ingestion appends the time
+    one-hot, the agent's proprio input grows to match, the saved train
+    config re-applies the wrapper at eval (incl. the reset_to_demo rewrap)."""
+    from genima_tpu.cli import eval_act, train_act
+
+    work = tmp_path / "onehot_ctrl"
+    train_act.main(
+        [
+            f"work_dir={work}",
+            "env.factory=fake",
+            "env.task=fake_reach",
+            "env.image_size=32",
+            "env.episode_length=20",
+            "use_onehot_time=true",
+            "num_train_epochs=1",
+            "checkpoint_every=1",
+            "num_demos=2",
+            "batch_size=4",
+            "action_sequence=5",
+            "method.image_size=32",
+            "+method.resnet_width=8",
+            "method.act_cfg.hidden_dim=32",
+            "method.act_cfg.enc_layers=1",
+            "method.act_cfg.dec_layers=1",
+            "method.act_cfg.dim_feedforward=64",
+            "method.act_cfg.nheads=2",
+            "method.act_cfg.latent_dim=8",
+            "method.act_cfg.lang_dim=16",
+            "method.data_augmentation=false",
+        ]
+    )
+    assert (work / "latest.ckpt").exists()
+
+    logs = eval_act.main(
+        [
+            f"controller_ckpt={work}",
+            "task=fake_reach",
+            "env.factory=fake",
+            "env.image_size=32",
+            "episode_length=20",
+            "num_eval_episodes=1",
+            "execution_horizon=5",
+            "eval_type=latest",
+        ]
+    )
+    assert logs["results"]["total_episodes"] == 1

@@ -222,3 +222,78 @@ def test_colosseum_plumbing(rlbench_mod, monkeypatch, tmp_path):
     env.reset()
     assert isinstance(env._env, EnvironmentExt)
     assert constructed["env_config"] == {"seed": 1}
+
+
+def test_multitask_child_collection_stamps_descriptions(rlbench_mod):
+    """The child-process body loops tasks and stamps each task's reset
+    description into its episodes (reference _get_demo_fn, rlbench.py:78-85)."""
+    out = []
+    rlbench_mod._collect_demos_child(
+        {"image_size": 8, "dataset_root": "/tmp/x"},
+        ["open_box", "close_jar"],
+        2,
+        out,
+    )
+    assert len(out) == 4
+    from genima_tpu.envs.demo import demo_description
+
+    # the stub task always resets to "open the box"; each episode carries it
+    assert all(demo_description(d) == "open the box" for d in out)
+
+
+def test_demo_cache_roundtrip(rlbench_mod, tmp_path, monkeypatch):
+    """collect_or_fetch_demos: first run collects + pickles per task; the
+    re-run fetches from disk without touching the simulator (the 'fetch'
+    half the reference's method name promises)."""
+    cache = tmp_path / "demo_cache"
+    f1 = rlbench_mod.GenimaRLBenchFactory(
+        task_names=["open_box", "close_jar"],
+        demo_cache_dir=str(cache),
+        task_name="open_box",
+        image_size=8,
+    )
+    demos1 = f1.collect_or_fetch_demos(2)
+    assert len(demos1) == 4
+    assert (cache / "demos_open_box_2.pkl").exists()
+    assert (cache / "demos_close_jar_2.pkl").exists()
+
+    # poison the collection path: a fetch-hit must never reach it
+    def _boom(*a, **kw):
+        raise AssertionError("cache hit should not re-collect")
+
+    monkeypatch.setattr(rlbench_mod, "_collect_demos_child", _boom)
+    f2 = rlbench_mod.GenimaRLBenchFactory(
+        task_names=["open_box", "close_jar"],
+        demo_cache_dir=str(cache),
+        task_name="open_box",
+        image_size=8,
+    )
+    demos2 = f2.collect_or_fetch_demos(2)
+    assert len(demos2) == 4
+    np.testing.assert_array_equal(
+        demos2[0][0].joint_positions, demos1[0][0].joint_positions
+    )
+    # different demo count -> cache miss -> poisoned child produces nothing
+    # (child exceptions don't propagate; the parent fails loudly on empty)
+    with pytest.raises(AssertionError, match="no demos"):
+        f2.collect_or_fetch_demos(3)
+
+
+def test_make_train_env_async_vector(rlbench_mod):
+    """AsyncVectorEnv-backed train envs on the REAL factory (reference
+    rlbench.py:256-264)."""
+    f = rlbench_mod.GenimaRLBenchFactory(
+        task_names=["open_box"], task_name="open_box", image_size=8
+    )
+    f.action_stats = {
+        "mean": np.zeros(8, np.float32),
+        "std": np.ones(8, np.float32),
+        "max": np.ones(8, np.float32),
+        "min": np.zeros(8, np.float32),
+    }
+    f.proprio_stats = dict(f.action_stats)
+    venv = f.make_train_env(num_train_envs=2, action_sequence=4)
+    assert venv.num_envs == 2
+    obs, infos = venv.reset()
+    assert obs["wrist_rgb"].shape == (2, 1, 3, 8, 8)  # (N, fs, C, H, W)
+    venv.close()
