@@ -83,6 +83,9 @@ def main(argv=None):
     cfg_path = flags.get("config_name", DEFAULT_CFG)
     cfg = load_config(cfg_path, overrides)
 
+    from genima_tpu.core import distributed as dist
+
+    dist.initialize()  # no-op single-process; multi-host pods wire up here
     seed_everything(cfg.get("seed", 0))
     from genima_tpu.envs.rlbench import make_factory
 

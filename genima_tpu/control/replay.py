@@ -136,8 +136,14 @@ class EpochReplayBuffer:
         }
 
     def __iter__(self) -> Iterator[dict]:
-        """One epoch: shuffled pass over every global index."""
+        """One epoch: shuffled pass over every global index. On multi-host
+        runs each process consumes a disjoint strided slice of the
+        (identically-seeded) permutation — per-host sample sharding."""
         order = self._rng.permutation(len(self._index))
+        from genima_tpu.core.distributed import process_count, process_index
+
+        if process_count() > 1:
+            order = order[process_index()::process_count()]
         for start in range(0, len(order), self.batch_size):
             chunk = order[start : start + self.batch_size]
             if self.drop_last and len(chunk) < self.batch_size:

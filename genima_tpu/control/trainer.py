@@ -117,7 +117,10 @@ class ControllerWorkspace:
             config=cfg_dict,
             num_checkpoints=self.cfg.get("num_checkpoints", 3),
         )
-        save_yaml(cfg_dict, self.work_dir / "config.yaml")
+        from genima_tpu.core.distributed import is_main_process
+
+        if is_main_process():
+            save_yaml(cfg_dict, self.work_dir / "config.yaml")
 
     # -- training -----------------------------------------------------------------
 

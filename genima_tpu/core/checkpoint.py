@@ -99,8 +99,17 @@ def save_step_checkpoint(
 
     ``extra`` maps names to additional pytrees saved as ``<name>.msgpack``
     in the checkpoint dir (e.g. EMA params for the pix2pix trainer).
+
+    Multi-host: only process 0 writes (params/opt-state are replicated
+    across hosts in the DP design, so one copy is the checkpoint — the
+    Accelerate ``save_state``-on-main-process contract). Non-main ranks
+    return the would-be path without touching disk.
     """
     output_dir = Path(output_dir)
+    from genima_tpu.core.distributed import is_main_process
+
+    if not is_main_process():
+        return output_dir / f"checkpoint-{step}"
     if total_limit is not None:
         existing = list_step_checkpoints(output_dir)
         # keep at most total_limit-1 before writing the new one
@@ -126,9 +135,14 @@ def save_final_model(
     model_subdir: str | None = None,
     config: dict | None = None,
 ) -> Path:
-    """Final ``save_pretrained``-style save at the output root."""
+    """Final ``save_pretrained``-style save at the output root (process 0
+    only on multi-host runs)."""
     output_dir = Path(output_dir)
     target = output_dir / model_subdir if model_subdir else output_dir
+    from genima_tpu.core.distributed import is_main_process
+
+    if not is_main_process():
+        return target
     save_pytree(model_params, target / "params.msgpack")
     if config is not None:
         with open(target / "config.json", "w") as f:
@@ -185,8 +199,13 @@ def save_epoch_checkpoint(
     config: dict | None = None,
     num_checkpoints: int = 3,
 ) -> Path:
-    """Rotate ``latest.ckpt`` -> ``<epoch>.ckpt``, save new latest, prune."""
+    """Rotate ``latest.ckpt`` -> ``<epoch>.ckpt``, save new latest, prune.
+    Process 0 only on multi-host runs (one writer, replicated params)."""
     ckpt_dir = Path(ckpt_dir)
+    from genima_tpu.core.distributed import is_main_process
+
+    if not is_main_process():
+        return ckpt_dir / LATEST_NAME
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     latest = ckpt_dir / LATEST_NAME
     if latest.exists():

@@ -35,7 +35,20 @@ class MetricLogger:
         use_tb: bool = False,
         use_wandb: bool = False,
         wandb_kwargs: dict | None = None,
+        main_process_only: bool = True,
     ):
+        # exactly-one-writer: on multi-host runs only process 0 opens files
+        # and emits metrics (the Accelerate is_main_process contract); the
+        # other ranks keep a no-op logger so call sites stay unconditional
+        from genima_tpu.core.distributed import is_main_process
+
+        self._active = not main_process_only or is_main_process()
+        if not self._active:
+            self._jsonl = None
+            self._tb = None
+            self._wandb = None
+            self.log_dir = Path(log_dir)
+            return
         self.log_dir = Path(log_dir)
         self.log_dir.mkdir(parents=True, exist_ok=True)
         self._jsonl = open(self.log_dir / "metrics.jsonl", "a")
@@ -60,6 +73,8 @@ class MetricLogger:
     def log_metrics(
         self, metrics: dict, step: int, prefix: str | None = None, echo: bool = True
     ) -> None:
+        if not self._active:
+            return
         scalars = {}
         for k, v in metrics.items():
             v = _to_scalar(v)
@@ -86,6 +101,8 @@ class MetricLogger:
     ) -> None:
         """Log HWC uint8 images to TB / wandb (JSONL backend ignores them;
         the caller keeps PNGs on disk for that case)."""
+        if not self._active:
+            return
         import numpy as np
 
         if self._tb is not None:
@@ -108,6 +125,8 @@ class MetricLogger:
             )
 
     def close(self) -> None:
+        if not self._active:
+            return
         self._jsonl.close()
         if self._tb is not None:
             self._tb.close()

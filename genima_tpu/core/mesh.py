@@ -62,14 +62,14 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     """Place a host pytree onto the mesh with the batch axis sharded.
 
     This is the single host->device transfer per step (the reference's
-    ``accelerator.prepare`` dataloader equivalent).
+    ``accelerator.prepare`` dataloader equivalent). On multi-host runs each
+    process contributes its local slice of the global batch
+    (``jax.make_array_from_process_local_data``); single-host is a plain
+    ``device_put``.
     """
-    sharding = data_sharding(mesh)
+    from genima_tpu.core.distributed import make_global_batch
 
-    def _put(x):
-        return jax.device_put(x, sharding)
-
-    return jax.tree_util.tree_map(_put, batch)
+    return make_global_batch(batch, mesh, data_sharding(mesh))
 
 
 def pad_to_multiple(n: int, k: int) -> int:

@@ -214,6 +214,13 @@ class DiffusionDataLoader:
         order = np.arange(len(self.samples))
         if self.shuffle:
             self._rng.shuffle(order)
+        # multi-host: each process decodes a disjoint strided slice of the
+        # (identically-seeded) shuffled order — the Accelerate DataLoader
+        # rank-sharding equivalent; the global batch is assembled on device
+        from genima_tpu.core.distributed import process_count, process_index
+
+        if process_count() > 1:
+            order = order[process_index()::process_count()]
         for start in range(0, len(order), self.batch_size):
             idx = order[start : start + self.batch_size]
             if self.drop_last and len(idx) < self.batch_size:

@@ -205,6 +205,11 @@ def init_model_params(pipe, args, variant: str) -> dict:
 
 
 def run_training(args, variant: str = "sd", pipe=None) -> dict:
+    # multi-host wiring first (no-op single-process): after this,
+    # jax.devices() is global and the one-writer guards are live
+    from genima_tpu.core import distributed as dist
+
+    dist.initialize()
     if args.seed is not None:
         seed_everything(args.seed)
     tokenizer = load_tokenizer(args.tokenizer_name)
@@ -221,7 +226,10 @@ def run_training(args, variant: str = "sd", pipe=None) -> dict:
         n_dev = 1
     mesh = make_mesh(n_data=n_dev, devices=_jax.devices()[:n_dev])
     loader = probe
-    loader.batch_size = args.train_batch_size * n_dev
+    # per-PROCESS batch: the loader feeds this host's local slice; the
+    # device-side global batch is train_batch_size * n_dev after
+    # shard_batch assembles across hosts
+    loader.batch_size = args.train_batch_size * n_dev // dist.process_count()
 
     steps_per_epoch = max(len(loader), 1)
     max_steps = args.max_train_steps or args.num_train_epochs * steps_per_epoch
