@@ -64,11 +64,21 @@ def initialize(
         # no explicit topology; on TPU pods jax.distributed.initialize()
         # with no args auto-detects via the metadata server — but calling
         # it on a single-host/CPU run raises, so only auto-init when the
-        # platform reports a pod environment
-        if os.environ.get("TPU_WORKER_HOSTNAMES") or os.environ.get(
-            "MEGASCALE_COORDINATOR_ADDRESS"
-        ):
-            jax.distributed.initialize()
+        # platform reports MORE THAN ONE worker (single-host TPU setups can
+        # still export TPU_WORKER_HOSTNAMES=localhost)
+        hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+        multi_worker = len([h for h in hostnames.split(",") if h]) > 1
+        if multi_worker or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
+            try:
+                jax.distributed.initialize()
+            except (ValueError, RuntimeError) as e:  # detection failed
+                import warnings
+
+                warnings.warn(
+                    f"multi-host auto-detection failed ({e}); continuing "
+                    "single-process", stacklevel=2,
+                )
+                return False
             _INITIALIZED = True
             return jax.process_count() > 1
         return False

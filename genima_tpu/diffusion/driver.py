@@ -212,7 +212,12 @@ def run_training(args, variant: str = "sd", pipe=None) -> dict:
     dist.initialize()
     if args.seed is not None:
         seed_everything(args.seed)
-    tokenizer = load_tokenizer(args.tokenizer_name)
+    # merges auto-discovered from the SD snapshot when no explicit
+    # tokenizer is given (tokenizer/merges.txt ships inside sd-turbo)
+    tokenizer = load_tokenizer(
+        args.tokenizer_name,
+        model_dir=getattr(args, "pretrained_model_name_or_path", None),
+    )
     pipe = build_pipeline(args, variant, pipe)
 
     # DDP semantics: each device processes train_batch_size samples, so the
@@ -251,6 +256,8 @@ def run_training(args, variant: str = "sd", pipe=None) -> dict:
         max_grad_norm=args.max_grad_norm,
         gradient_checkpointing=getattr(args, "gradient_checkpointing", False),
         lr_scheduler=args.lr_scheduler,
+        lr_num_cycles=getattr(args, "lr_num_cycles", 1),
+        lr_power=getattr(args, "lr_power", 1.0),
         lr_warmup_steps=args.lr_warmup_steps * n_dev,
         max_train_steps=max_steps * n_dev,
         gradient_accumulation_steps=args.gradient_accumulation_steps,

@@ -56,6 +56,9 @@ class TrainConfig:
     max_train_steps: int = 15000
     gradient_accumulation_steps: int = 1
     timestep_spacing: str = "uniform"  # or "turbo_timesteps"
+    lr_num_cycles: int = 1  # cosine_with_restarts hard restarts
+    lr_power: float = 1.0  # polynomial decay exponent
+    lr_end: float = 1e-7  # polynomial floor (diffusers default)
     proportion_empty_prompts: float = 0.0
     # comma list applied inside the jitted step (reference augment_data,
     # train_controlnet_genima.py:775-830): colorjitter,elastic,blur,affine,crop
@@ -95,6 +98,37 @@ def make_lr_schedule(cfg: TrainConfig) -> optax.Schedule:
     if cfg.lr_scheduler == "cosine":
         return optax.warmup_cosine_decay_schedule(
             0.0, base, cfg.lr_warmup_steps, cfg.max_train_steps
+        )
+    warmup = cfg.lr_warmup_steps
+    decay_steps = max(cfg.max_train_steps - warmup, 1)
+    if cfg.lr_scheduler == "cosine_with_restarts":
+        # diffusers get_cosine_with_hard_restarts_schedule_with_warmup:
+        # factor = 0.5*(1+cos(pi*((num_cycles*progress) mod 1))), 0 past end
+        cycles = max(int(cfg.lr_num_cycles), 1)
+
+        def restarts(step):
+            # join_schedules hands this branch the step already offset by
+            # the warmup boundary
+            progress = jnp.clip(step / decay_steps, 0.0, None)
+            factor = 0.5 * (
+                1.0 + jnp.cos(jnp.pi * jnp.mod(cycles * progress, 1.0))
+            )
+            return base * jnp.where(progress >= 1.0, 0.0, factor)
+
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, base, warmup), restarts], [warmup]
+        )
+    if cfg.lr_scheduler == "polynomial":
+        # diffusers get_polynomial_decay_schedule_with_warmup:
+        # (lr - lr_end) * (1 - progress)^power + lr_end, lr_end past end
+        lr_end, power = cfg.lr_end, cfg.lr_power
+
+        def poly(step):
+            progress = jnp.clip(step / decay_steps, 0.0, 1.0)  # offset step
+            return (base - lr_end) * (1.0 - progress) ** power + lr_end
+
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, base, warmup), poly], [warmup]
         )
     raise ValueError(f"Unknown lr_scheduler {cfg.lr_scheduler}")
 

@@ -53,7 +53,10 @@ class DiffusionAgent:
     def __post_init__(self):
         if self.pipe is None:
             self.pipe = self._build_pipeline()
-        self.tokenizer = load_tokenizer(self.tokenizer_merges)
+        # merges auto-discovered from the base SD snapshot when unset
+        self.tokenizer = load_tokenizer(
+            self.tokenizer_merges, model_dir=self.sd_ckpt
+        )
         self.params = self._load_params()
         self._episode_counter = 0
         self._prompt_cache: dict[tuple, Any] = {}

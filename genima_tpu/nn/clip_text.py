@@ -119,9 +119,11 @@ class CLIPEncoderLayer(nn.Module):
             if c.hidden_act == "quick_gelu"
             else lambda x: nn.gelu(x, approximate=False)
         )
-        h = nn.LayerNorm(dtype=self.dtype, name="layer_norm1")(x)
+        # HF CLIP layer_norm_eps = 1e-5 (flax defaults to 1e-6 — pinned by the
+        # real-transformers golden test in tests/test_weights.py)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm1")(x)
         x = x + CLIPAttention(c, dtype=self.dtype, name="self_attn")(h, mask)
-        h = nn.LayerNorm(dtype=self.dtype, name="layer_norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm2")(x)
         h = nn.Dense(c.intermediate_size, dtype=self.dtype, name="mlp_fc1")(h)
         h = act(h)
         h = nn.Dense(c.hidden_size, dtype=self.dtype, name="mlp_fc2")(h)
@@ -164,7 +166,9 @@ class CLIPTextModel(nn.Module):
             hidden = CLIPEncoderLayer(c, dtype=self.dtype, name=f"layers_{i}")(
                 hidden, causal
             )
-        last = nn.LayerNorm(dtype=self.dtype, name="final_layer_norm")(hidden)
+        last = nn.LayerNorm(
+            epsilon=1e-5, dtype=self.dtype, name="final_layer_norm"
+        )(hidden)
         # EOT pooling: argmax over ids (EOT has the highest id in CLIP vocab)
         eot_idx = jnp.argmax(input_ids, axis=-1)
         pooled = last[jnp.arange(b), eot_idx]

@@ -4,9 +4,12 @@ EXACT parameter tree of the XLA modules they replace (``ResnetBlock2D``,
 ``Upsample2D`` in nn/layers.py) — checkpoints and torch weight ports
 (weights/torch_port.py) are layout-identical across backends.
 
-Used by ``nn/vae.py::Decoder`` when ``conv_backend="fused"`` (the default
-on TPU for the inference pipelines): slope-based profiling showed XLA's
-narrow-channel 512^2/256^2 conv stages at 34-46% MXU (PERF.md).
+Used by ``nn/vae.py::Decoder`` when ``conv_backend="fused"`` — an OPTIONAL
+backend, NOT the default: the pipelines default to ``"xla"`` because
+end-to-end slope timing measured the fused decoder 2.3x slower in-pipeline
+despite XLA's narrow-channel 512^2/256^2 conv stages sitting at 34-46% MXU
+in isolation (PERF.md, "fused-conv experiment"). Kept for shapes/configs
+where the tradeoff flips and as the parity-tested Pallas conv reference.
 """
 
 from __future__ import annotations

@@ -190,7 +190,11 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
-        ln = lambda name: nn.LayerNorm(dtype=self.dtype, name=name)  # noqa: E731
+        # diffusers BasicTransformerBlock norm_eps = 1e-5 (torch LayerNorm
+        # default); flax would silently use 1e-6
+        ln = lambda name: nn.LayerNorm(  # noqa: E731
+            epsilon=1e-5, dtype=self.dtype, name=name
+        )
         attn = lambda name, cross_dim: Attention(  # noqa: E731
             query_dim=self.dim,
             heads=self.heads,

@@ -145,7 +145,9 @@ def _from_flax_array(flax_arr: np.ndarray, flax_leaf_name: str) -> np.ndarray:
             arr = arr.transpose(3, 2, 0, 1)
         elif arr.ndim == 2:
             arr = arr.T
-    return arr
+    # safetensors.numpy.save_file writes the RAW buffer, silently ignoring
+    # strides — a transposed view exports as garbage. Materialize C-order.
+    return np.ascontiguousarray(arr)
 
 
 def _flatten(params: Any) -> list[tuple[tuple[str, ...], Any]]:

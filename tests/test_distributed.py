@@ -38,6 +38,10 @@ def test_initialize_noop_without_topology(monkeypatch):
     ):
         monkeypatch.delenv(var, raising=False)
     assert dist.initialize() is False  # no-op, no exception
+    # single-host TPU setups export TPU_WORKER_HOSTNAMES=localhost — one
+    # worker is NOT a pod and must not trigger auto-init
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    assert dist.initialize() is False
 
 
 def test_metric_logger_non_main_writes_nothing(tmp_path):

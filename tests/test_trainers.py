@@ -268,3 +268,71 @@ def test_gradient_checkpointing_matches_plain():
         jax.tree_util.tree_leaves(outs[True][1]),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_lr_cosine_with_restarts_closed_form():
+    """diffusers get_cosine_with_hard_restarts_schedule_with_warmup:
+    linear warmup, then 0.5*(1+cos(pi*((cycles*progress) mod 1))), 0 at end."""
+    import numpy as np
+
+    base, warmup, total, cycles = 2e-4, 10, 110, 3
+    sched = make_lr_schedule(
+        TrainConfig(
+            learning_rate=base,
+            lr_scheduler="cosine_with_restarts",
+            lr_warmup_steps=warmup,
+            max_train_steps=total,
+            lr_num_cycles=cycles,
+        )
+    )
+
+    def ref(step):
+        if step < warmup:
+            return base * step / max(1, warmup)
+        progress = (step - warmup) / max(1, total - warmup)
+        if progress >= 1.0:
+            return 0.0
+        return base * 0.5 * (1.0 + np.cos(np.pi * ((cycles * progress) % 1.0)))
+
+    for step in [0, 1, 5, 10, 11, 26, 43, 60, 77, 94, 109, 110, 150]:
+        # f32 cos near its zero loses relative precision; atol covers it
+        np.testing.assert_allclose(
+            float(sched(step)), ref(step), rtol=1e-4, atol=base * 1e-5,
+            err_msg=f"step {step}",
+        )
+    # hard restart: lr jumps back near base at each cycle boundary
+    cycle_len = (total - warmup) / cycles
+    just_after_restart = int(warmup + cycle_len) + 1
+    assert float(sched(just_after_restart)) > 0.9 * base
+
+
+def test_lr_polynomial_closed_form():
+    """diffusers get_polynomial_decay_schedule_with_warmup:
+    (lr-lr_end)*(1-progress)^power + lr_end, floored at lr_end."""
+    import numpy as np
+
+    base, warmup, total, power, lr_end = 1e-4, 8, 58, 2.5, 1e-7
+    sched = make_lr_schedule(
+        TrainConfig(
+            learning_rate=base,
+            lr_scheduler="polynomial",
+            lr_warmup_steps=warmup,
+            max_train_steps=total,
+            lr_power=power,
+            lr_end=lr_end,
+        )
+    )
+
+    def ref(step):
+        if step < warmup:
+            return base * step / max(1, warmup)
+        if step > total:
+            return lr_end
+        progress = (step - warmup) / (total - warmup)
+        return (base - lr_end) * (1 - progress) ** power + lr_end
+
+    for step in [0, 3, 8, 9, 20, 33, 45, 57, 58, 99]:
+        np.testing.assert_allclose(
+            float(sched(step)), ref(step), rtol=1e-4, atol=base * 1e-6,
+            err_msg=f"step {step}",
+        )

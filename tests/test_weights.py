@@ -296,3 +296,68 @@ def test_clip_layer_matches_torch():
     with torch.no_grad():
         ref = tl(torch.from_numpy(x), tmask).numpy()
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
+
+
+def test_clip_text_matches_real_transformers_goldens():
+    """Architecture fidelity pinned to REAL transformers (not the in-repo
+    torch_ref): weights, inputs, and activations were generated once by
+    transformers.CLIPTextModelWithProjection (v4.57) and committed as
+    tests/fixtures/clip_text_golden_hf.npz. Ports the HF state dict through
+    the hf_clip mapping and compares last/penultimate hidden states, and
+    projected text embeds for both activation variants."""
+    from pathlib import Path
+
+    import numpy as np
+
+    from genima_tpu.core.init_utils import fast_init
+    from genima_tpu.nn.clip_text import CLIPTextConfig, CLIPTextModel
+
+    fx = np.load(
+        Path(__file__).parent / "fixtures" / "clip_text_golden_hf.npz"
+    )
+    for act in ["quick_gelu", "gelu"]:
+        cfg = CLIPTextConfig(
+            vocab_size=1000, hidden_size=32, intermediate_size=64,
+            num_layers=2, num_heads=2, hidden_act=act, projection_dim=32,
+        )
+        model = CLIPTextModel(cfg)
+        ids = jnp.asarray(fx[f"{act}.ids"])
+        params = fast_init(model, jax.random.key(0), ids)["params"]
+        sd = {
+            k[len(act) + 4:]: np.asarray(v)
+            for k, v in fx.items()
+            if k.startswith(f"{act}.sd.")
+        }
+        params = port_torch_state_dict(sd, params, "hf_clip")
+        out = model.apply({"params": params}, ids)
+        np.testing.assert_allclose(
+            np.asarray(out.last_hidden_state),
+            fx[f"{act}.last_hidden_state"],
+            atol=2e-5, rtol=1e-4, err_msg=f"{act} last_hidden_state",
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.penultimate_hidden_state),
+            fx[f"{act}.penultimate"],
+            atol=2e-5, rtol=1e-4, err_msg=f"{act} penultimate",
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.text_embeds),
+            fx[f"{act}.text_embeds"],
+            atol=2e-5, rtol=1e-4, err_msg=f"{act} text_embeds",
+        )
+
+
+def test_export_arrays_are_contiguous():
+    """safetensors.numpy.save_file writes raw buffers and silently corrupts
+    non-contiguous (transposed-view) arrays — every exported tensor must be
+    C-contiguous (regression for the export_controlnet interop path)."""
+    from genima_tpu.core.init_utils import fast_init
+    from genima_tpu.nn.clip_text import CLIPTextConfig, CLIPTextModel
+
+    clip = CLIPTextModel(CLIPTextConfig.tiny())
+    params = fast_init(clip, jax.random.key(0), jnp.zeros((1, 8), jnp.int32))[
+        "params"
+    ]
+    sd = export_torch_state_dict(params, "hf_clip")
+    for k, v in sd.items():
+        assert np.asarray(v).flags["C_CONTIGUOUS"], k
