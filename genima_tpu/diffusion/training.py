@@ -59,6 +59,13 @@ class TrainConfig:
     lr_num_cycles: int = 1  # cosine_with_restarts hard restarts
     lr_power: float = 1.0  # polynomial decay exponent
     lr_end: float = 1e-7  # polynomial floor (diffusers default)
+    # bf16 first moment: halves mu HBM traffic (nu stays f32 — second
+    # moments need the range). Measured knob, default off for bit-parity
+    # with the reference's f32 AdamW.
+    adam_mu_bf16: bool = False
+    # the grad-norm metric costs an extra reduction over 1.4 GB of grads
+    # when XLA fails to CSE it with the clip's norm; optional
+    log_grad_norm: bool = True
     proportion_empty_prompts: float = 0.0
     # comma list applied inside the jitted step (reference augment_data,
     # train_controlnet_genima.py:775-830): colorjitter,elastic,blur,affine,crop
@@ -133,6 +140,21 @@ def make_lr_schedule(cfg: TrainConfig) -> optax.Schedule:
     raise ValueError(f"Unknown lr_scheduler {cfg.lr_scheduler}")
 
 
+def normalize_image_batch(pixel_values, cond_values):
+    """Dtype-dispatched batch normalization, on device.
+
+    uint8 batches (loader ``emit_uint8``) ship 4x less host->device data;
+    the [-1,1] / [0,1] conventions (reference ``train_controlnet_genima.py``
+    :917-942) are applied here where bandwidth is free. f32 batches pass
+    through untouched (already normalized on host).
+    """
+    if pixel_values.dtype == jnp.uint8:
+        pixel_values = pixel_values.astype(jnp.float32) / 127.5 - 1.0
+    if cond_values.dtype == jnp.uint8:
+        cond_values = cond_values.astype(jnp.float32) / 255.0
+    return pixel_values, cond_values
+
+
 class ControlNetTrainer:
     def __init__(self, pipe, cfg: TrainConfig, mesh=None):
         self.pipe = pipe
@@ -156,6 +178,7 @@ class ControlNetTrainer:
                 b2=cfg.adam_beta2,
                 eps=cfg.adam_epsilon,
                 weight_decay=cfg.adam_weight_decay,
+                mu_dtype=jnp.bfloat16 if cfg.adam_mu_bf16 else None,
             )
         tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), adam)
         if cfg.gradient_accumulation_steps > 1:
@@ -190,8 +213,9 @@ class ControlNetTrainer:
         cfg = self.cfg
         k_noise, k_t, k_sample = jax.random.split(key, 3)
 
-        pixel_values = batch["pixel_values"]  # (B,H,W,3) in [-1,1]
-        cond_values = batch["conditioning_pixel_values"]  # (B,H,W,3) in [0,1]
+        pixel_values, cond_values = normalize_image_batch(
+            batch["pixel_values"], batch["conditioning_pixel_values"]
+        )  # (B,H,W,3) in [-1,1] / [0,1]
         input_ids = batch["input_ids"]  # (B,77)
         bsz = pixel_values.shape[0]
 
@@ -265,10 +289,12 @@ class ControlNetTrainer:
         )
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        grad_norm = optax.global_norm(grads)
         new_state = TrainState(params, opt_state, state.step + 1, state.ema)
         lr = make_lr_schedule(self.cfg)(state.step)
-        return new_state, {"loss": loss, "grad_norm": grad_norm, "lr": lr}
+        metrics = {"loss": loss, "lr": lr}
+        if self.cfg.log_grad_norm:
+            metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
 
     def train_step(self, state: TrainState, batch, key):
         """One jitted DP training step. ``batch`` should be sharded over the
@@ -309,8 +335,9 @@ class SDXLControlNetTrainer(ControlNetTrainer):
         cfg = self.cfg
         k_noise, k_t, k_sample = jax.random.split(key, 3)
 
-        pixel_values = batch["pixel_values"]
-        cond_values = batch["conditioning_pixel_values"]
+        pixel_values, cond_values = normalize_image_batch(
+            batch["pixel_values"], batch["conditioning_pixel_values"]
+        )
         input_ids = batch["input_ids"]
         bsz = pixel_values.shape[0]
 
@@ -430,8 +457,9 @@ class Pix2PixTrainer(ControlNetTrainer):
         cfg = self.cfg
         k_noise, k_t, k_sample, k_drop = jax.random.split(key, 4)
 
-        pixel_values = batch["pixel_values"]  # edited/target image [-1,1]
-        cond_values = batch["conditioning_pixel_values"]  # original, [0,1]
+        pixel_values, cond_values = normalize_image_batch(
+            batch["pixel_values"], batch["conditioning_pixel_values"]
+        )  # edited/target [-1,1]; original [0,1]
         input_ids = batch["input_ids"]
         bsz = pixel_values.shape[0]
 

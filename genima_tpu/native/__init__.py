@@ -59,6 +59,15 @@ def get_lib():
             ctypes.POINTER(ctypes.c_float),
             ctypes.c_int,
         ]
+        lib.genima_decode_batch_u8.restype = ctypes.c_int
+        lib.genima_decode_batch_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_ulong),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
+        ]
         _lib = lib
     except OSError:
         _lib = None
@@ -87,6 +96,32 @@ def decode_png_batch(
         resolution,
         mode,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n_threads,
+    )
+    if failed:
+        return None
+    return out
+
+
+def decode_png_batch_u8(
+    png_bytes: list[bytes], resolution: int, n_threads: int = 8
+) -> np.ndarray | None:
+    """Raw uint8 variant: (N, res, res, 3) uint8 [0,255], un-normalized —
+    the device-transfer-friendly path (4x less host->device traffic; the
+    trainer normalizes on device). None -> caller falls back to PIL."""
+    lib = get_lib()
+    if lib is None or not png_bytes:
+        return None
+    n = len(png_bytes)
+    out = np.empty((n, resolution, resolution, 3), np.uint8)
+    buf_ptrs = (ctypes.c_char_p * n)(*png_bytes)
+    sizes = (ctypes.c_ulong * n)(*[len(b) for b in png_bytes])
+    failed = lib.genima_decode_batch_u8(
+        ctypes.cast(buf_ptrs, ctypes.POINTER(ctypes.c_char_p)),
+        sizes,
+        n,
+        resolution,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         n_threads,
     )
     if failed:

@@ -90,6 +90,30 @@ void resize_crop_normalize(const DecodedImage& img, int res, int mode,
   }
 }
 
+// uint8 variant: same Resize + CenterCrop, NO normalization — the batch
+// ships to the device as uint8 (4x less host->device traffic than f32;
+// the trainer normalizes on device where bandwidth is free).
+void resize_crop_u8(const DecodedImage& img, int res, uint8_t* out) {
+  const float scale =
+      static_cast<float>(res) / static_cast<float>(std::min(img.h, img.w));
+  const float rh = img.h * scale, rw = img.w * scale;
+  const float off_y = (rh - res) / 2.0f, off_x = (rw - res) / 2.0f;
+  const float inv = 1.0f / scale;
+  for (int oy = 0; oy < res; ++oy) {
+    const float sy = (oy + off_y + 0.5f) * inv - 0.5f;
+    for (int ox = 0; ox < res; ++ox) {
+      const float sx = (ox + off_x + 0.5f) * inv - 0.5f;
+      float rgb[3];
+      sample_bilinear(img.rgb.data(), img.h, img.w, sy, sx, rgb);
+      uint8_t* dst = out + (oy * res + ox) * 3;
+      for (int c = 0; c < 3; ++c) {
+        dst[c] = static_cast<uint8_t>(
+            std::min(std::max(rgb[c] + 0.5f, 0.0f), 255.0f));
+      }
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -116,6 +140,37 @@ int genima_decode_batch(const uint8_t** datas, const unsigned long* sizes,
     for (int i = tid; i < n; i += n_threads) {
       if (genima_decode_png_resize(datas[i], sizes[i], res, mode,
                                    out + plane * i) != 0) {
+        failures[tid]++;
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  threads.reserve(n_threads);
+  for (int t = 0; t < n_threads; ++t) threads.emplace_back(work, t);
+  for (auto& t : threads) t.join();
+  int total = 0;
+  for (int f : failures) total += f;
+  return total;
+}
+
+// uint8 variants of the two entry points above (raw [0,255] output).
+int genima_decode_png_resize_u8(const uint8_t* data, unsigned long size,
+                                int res, uint8_t* out) {
+  DecodedImage img;
+  if (!decode_png(data, size, &img)) return 1;
+  resize_crop_u8(img, res, out);
+  return 0;
+}
+
+int genima_decode_batch_u8(const uint8_t** datas, const unsigned long* sizes,
+                           int n, int res, uint8_t* out, int n_threads) {
+  if (n_threads <= 0) n_threads = 1;
+  std::vector<int> failures(n_threads, 0);
+  const long plane = static_cast<long>(res) * res * 3;
+  auto work = [&](int tid) {
+    for (int i = tid; i < n; i += n_threads) {
+      if (genima_decode_png_resize_u8(datas[i], sizes[i], res,
+                                      out + plane * i) != 0) {
         failures[tid]++;
       }
     }

@@ -25,11 +25,13 @@ def main():
     backend = sys.argv[1] if len(sys.argv) > 1 else "xla"
     use8 = "--8bit" in sys.argv
     gc = "--gc" in sys.argv
+    mu16 = "--mu16" in sys.argv
+    nonorm = "--nonorm" in sys.argv
     sizes = (1, 2, 4)
     for a in sys.argv[1:]:
         if a.startswith("--bs="):
             sizes = tuple(int(x) for x in a[5:].split(","))
-    print(f"devices: {jax.devices()}  backend={backend} 8bit={use8} gc={gc}",
+    print(f"devices: {jax.devices()}  backend={backend} 8bit={use8} gc={gc} mu16={mu16} nonorm={nonorm}",
           flush=True)
     pipe = SDControlNetPipeline(backend=backend)
     shapes = jax.eval_shape(
@@ -39,7 +41,8 @@ def main():
     trainer = ControlNetTrainer(
         pipe,
         TrainConfig(learning_rate=1e-5, max_grad_norm=1.0, use_8bit_adam=use8,
-                    gradient_checkpointing=gc),
+                    gradient_checkpointing=gc, adam_mu_bf16=mu16,
+                    log_grad_norm=not nonorm),
     )
     state = None
     for bs in sizes:

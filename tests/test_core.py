@@ -130,3 +130,23 @@ def test_metric_logger(tmp_path):
     lines = (tmp_path / "metrics.jsonl").read_text().strip().splitlines()
     rec = json.loads(lines[0])
     assert rec["train/loss"] == 0.5
+
+
+def test_device_prefetcher_order_and_errors():
+    from genima_tpu.data.dataset import DevicePrefetcher
+
+    batches = [{"x": np.full((2, 2), i)} for i in range(5)]
+    out = list(DevicePrefetcher(batches, put_fn=lambda b: b["x"] + 1))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        np.testing.assert_array_equal(b, np.full((2, 2), i + 1))
+
+    class Boom:
+        def __iter__(self):
+            yield {"x": np.zeros(1)}
+            raise RuntimeError("decode failed")
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="decode failed"):
+        list(DevicePrefetcher(Boom()))

@@ -101,3 +101,79 @@ def test_loader_native_path(tmp_path):
         b1["conditioning_pixel_values"], b2["conditioning_pixel_values"],
         atol=1e-5,
     )
+
+
+def test_uint8_decode_matches_float_path(tmp_path):
+    """decode_png_batch_u8 (and the loader's emit_uint8 mode) produce the
+    same pixels as the float path up to quantization."""
+    from PIL import Image
+
+    from genima_tpu.data.dataset import DiffusionDataLoader, Sample
+    from genima_tpu.data.tokenizer import HashTokenizer
+
+    rng = np.random.RandomState(3)
+    img = tmp_path / "a.png"
+    Image.fromarray(rng.randint(0, 255, (40, 56, 3), np.uint8)).save(img)
+    samples = [Sample(str(img), str(img), "t")]
+    tok = HashTokenizer()
+    f32 = next(iter(DiffusionDataLoader(
+        samples, tok, batch_size=1, resolution=32, num_workers=1,
+    )))
+    u8 = next(iter(DiffusionDataLoader(
+        samples, tok, batch_size=1, resolution=32, num_workers=1,
+        emit_uint8=True,
+    )))
+    assert u8["pixel_values"].dtype == np.uint8
+    assert u8["conditioning_pixel_values"].dtype == np.uint8
+    np.testing.assert_allclose(
+        u8["pixel_values"].astype(np.float32) / 127.5 - 1.0,
+        f32["pixel_values"], atol=1.01 / 127.5,
+    )
+    np.testing.assert_allclose(
+        u8["conditioning_pixel_values"].astype(np.float32) / 255.0,
+        f32["conditioning_pixel_values"], atol=1.01 / 255.0,
+    )
+
+
+def test_native_u8_decoder_matches_pil():
+    from PIL import Image
+    import io
+
+    from genima_tpu.native import decode_png_batch_u8, get_lib
+
+    if get_lib() is None:
+        pytest.skip("native image_ops unavailable")
+    rng = np.random.RandomState(0)
+    arr = rng.randint(0, 255, (64, 48, 3), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    out = decode_png_batch_u8([buf.getvalue()], 32, n_threads=2)
+    assert out is not None and out.shape == (1, 32, 32, 3)
+    assert out.dtype == np.uint8
+    # same resampler as the float native path: quantization only
+    from genima_tpu.native import decode_png_batch
+
+    f32 = decode_png_batch([buf.getvalue()], 32, mode=0, n_threads=2)
+    np.testing.assert_allclose(
+        out[0].astype(np.float32) / 255.0, f32[0], atol=1.01 / 255.0
+    )
+
+
+def test_trainer_normalizes_uint8_on_device():
+    import jax.numpy as jnp
+
+    from genima_tpu.diffusion.training import normalize_image_batch
+
+    px = jnp.asarray(np.array([[0, 127, 255]], np.uint8))
+    cn = jnp.asarray(np.array([[0, 127, 255]], np.uint8))
+    p, c = normalize_image_batch(px, cn)
+    np.testing.assert_allclose(
+        np.asarray(p), [[-1.0, -0.00392157, 1.0]], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(c), [[0.0, 0.49803922, 1.0]], atol=1e-6
+    )
+    # f32 passes through untouched
+    f = jnp.asarray(np.array([[0.5]], np.float32))
+    p2, c2 = normalize_image_batch(f, f)
+    np.testing.assert_array_equal(np.asarray(p2), np.asarray(f))
