@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import sys
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -46,6 +47,16 @@ def main():
     )
     state0 = trainer.create_state(params)
     frozen = trainer._frozen
+    # keep only host-side SHAPES of the state so it can be re-zeroed per
+    # call (the chain donates its input state); drop the full pipeline tree
+    state_shapes = jax.eval_shape(lambda: state0)
+    del params, state0
+
+    @jax.jit
+    def fresh_state():
+        return jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), state_shapes
+        )
     batch = {
         "pixel_values": jnp.zeros((bs, 512, 512, 3), jnp.float32),
         "conditioning_pixel_values": jnp.zeros((bs, 512, 512, 3), jnp.float32),
@@ -53,8 +64,13 @@ def main():
     }
 
     def chain(length):
-        @jax.jit
-        def run(state, batch, key):
+        # frozen passed as an ARG — closing over it captures 5 GB of
+        # constants into the lowering. State DONATED **and returned**: with a
+        # scalar-only output XLA cannot alias the donated 4.3 GB optimizer
+        # state anywhere ("donated buffers were not usable") and input +
+        # scan-carry copies exhaust HBM.
+        @partial(jax.jit, donate_argnums=(0,))
+        def run(state, frozen, batch, key):
             def body(carry, i):
                 st, k = carry
                 k, sub = jax.random.split(k)
@@ -64,18 +80,21 @@ def main():
             (st, _), losses = jax.lax.scan(
                 body, (state, key), jnp.arange(length)
             )
-            return jnp.sum(losses)
+            return st, jnp.sum(losses)
 
         return run
 
     def measure(fn, calls=4):
-        _ = float(np.asarray(fn(state0, batch, jax.random.key(0))))
+        st = fresh_state()
+        st, out = fn(st, frozen, batch, jax.random.key(0))
+        _ = float(np.asarray(out))  # compile + settle
         times = []
         for i in range(calls):
             t0 = time.perf_counter()
-            out = fn(state0, batch, jax.random.key(i))
+            st, out = fn(st, frozen, batch, jax.random.key(i))
             _ = float(np.asarray(out))
             times.append(time.perf_counter() - t0)
+        del st
         return min(times)
 
     l1, l2 = 2, 8
