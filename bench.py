@@ -37,13 +37,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def zeros_init(pipe, image_size: int = 512) -> dict:
-    """On-device zeros params with the exact real tree structure."""
+def zeros_init(pipe, image_size: int = 512, bf16: bool = False) -> dict:
+    """On-device zeros params with the exact real tree structure.
+
+    ``bf16=True`` stores f32 leaves as bf16 — the serving storage layout
+    (compute is bf16 either way; storing f32 makes XLA re-read f32 weights
+    at every denoise step when the convert fuses into the consumer)."""
     shapes = jax.eval_shape(
         lambda: pipe.init_params(jax.random.key(0), image_size=image_size,
                                  fast=False)
     )
-    return jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    def mk(s):
+        dt = jnp.bfloat16 if (bf16 and s.dtype == jnp.float32) else s.dtype
+        return jnp.zeros(s.shape, dt)
+    return jax.tree_util.tree_map(mk, shapes)
 
 
 def main() -> None:
@@ -57,7 +64,7 @@ def main() -> None:
     if "--real-init" in sys.argv:
         params = pipe.init_params(key, image_size=512, fast=True)
     else:
-        params = zeros_init(pipe)
+        params = zeros_init(pipe, bf16="--bf16-params" in sys.argv)
     jax.block_until_ready(params)
     print(f"param init: {time.time() - t0:.1f}s", file=sys.stderr)
 

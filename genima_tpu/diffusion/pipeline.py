@@ -52,7 +52,9 @@ class SDControlNetPipeline:
     dtype: Any = jnp.bfloat16
     # packed flash attention (kernels/packed_attention.py): -4.3 ms/denoise
     # step vs "xla" on v5e, numerically parity-tested. "xla" remains the
-    # no-Pallas fallback.
+    # no-Pallas fallback. Append "+w8" ("fused+w8") for int8 weight-only
+    # transformer matmuls (kernels/w8_matmul.py) — requires params run
+    # through weights/quantize.py::quantize_pipeline_params.
     backend: str = "fused"
     # VAE decoder conv backend. "xla" measured FASTER end-to-end than the
     # fused GN-SiLU-conv3x3 Pallas kernel ("fused", kernels/fused_conv.py):

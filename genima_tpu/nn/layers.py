@@ -96,14 +96,62 @@ _ATTN_BACKENDS: dict[str, Callable] = {
 FUSED_MIN_SEQ = 256
 
 
+def split_backend(spec: str) -> tuple[str, bool]:
+    """A backend spec is ``<attn>[+w8]``: the attention backend, optionally
+    with int8 weight-only matmuls ('fused+w8'). Returns (attn_backend, w8)."""
+    if spec.endswith("+w8"):
+        return spec[: -len("+w8")], True
+    return spec, False
+
+
 def resolve_backend(backend: str, is_cross: bool) -> str:
     """'pallas_self'/'fused' route self-attention through a flash kernel
     while cross-attention (77 kv tokens — too small to win) stays on XLA."""
+    backend, _ = split_backend(backend)
     if backend == "pallas_self":
         return "xla" if is_cross else "pallas"
     if backend == "fused":
         return "xla" if is_cross else "fused"
     return backend
+
+
+class W8Dense(nn.Module):
+    """Dense with int8 weight-only storage (kernels/w8_matmul.py).
+
+    Params: ``kernel_q`` int8 (K, N), ``scale`` f32 (N,), optional ``bias``
+    — produced from a full-precision checkpoint by
+    ``weights/quantize.py::quantize_dense_tree``; from-scratch init gives
+    identity-zero weights (bench timing is value-independent)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from genima_tpu.kernels.w8_matmul import w8_matmul
+
+        k = x.shape[-1]
+        kernel_q = self.param(
+            "kernel_q", nn.initializers.zeros, (k, self.features), jnp.int8
+        )
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.features,), jnp.float32
+        )
+        y = w8_matmul(x.astype(self.dtype), kernel_q, scale)
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+def make_dense(w8: bool, features: int, use_bias: bool, dtype, name: str):
+    """nn.Dense or its int8 weight-only twin, same call signature."""
+    if w8:
+        return W8Dense(features, use_bias=use_bias, dtype=dtype, name=name)
+    return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
 
 
 class Attention(nn.Module):
@@ -127,8 +175,9 @@ class Attention(nn.Module):
         context = hidden_states if context is None else context
         inner_dim = self.query_dim
         head_dim = inner_dim // self.heads
-        dense = lambda name, feats: nn.Dense(  # noqa: E731
-            feats, use_bias=False, dtype=self.dtype, name=name
+        _, w8 = split_backend(self.backend)
+        dense = lambda name, feats: make_dense(  # noqa: E731
+            w8, feats, False, self.dtype, name
         )
         q = dense("to_q", inner_dim)(hidden_states)
         k = dense("to_k", inner_dim)(context)
@@ -155,16 +204,17 @@ class Attention(nn.Module):
             vh = v.reshape(b, sk, self.heads, head_dim)
             out = _ATTN_BACKENDS[backend](qh, kh, vh)
             out = out.reshape(b, sq, inner_dim)
-        return nn.Dense(inner_dim, dtype=self.dtype, name="to_out_0")(out)
+        return make_dense(w8, inner_dim, True, self.dtype, "to_out_0")(out)
 
 
 class GEGLU(nn.Module):
     inner_dim: int
     dtype: jnp.dtype = jnp.float32
+    w8: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        h = nn.Dense(self.inner_dim * 2, dtype=self.dtype, name="proj")(x)
+        h = make_dense(self.w8, self.inner_dim * 2, True, self.dtype, "proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
         # diffusers GEGLU uses exact (erf) gelu
         return h * nn.gelu(gate, approximate=False)
@@ -174,11 +224,13 @@ class FeedForward(nn.Module):
     dim: int
     mult: int = 4
     dtype: jnp.dtype = jnp.float32
+    w8: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = GEGLU(self.dim * self.mult, dtype=self.dtype, name="net_0")(x)
-        return nn.Dense(self.dim, dtype=self.dtype, name="net_2")(x)
+        x = GEGLU(self.dim * self.mult, dtype=self.dtype, w8=self.w8,
+                  name="net_0")(x)
+        return make_dense(self.w8, self.dim, True, self.dtype, "net_2")(x)
 
 
 class BasicTransformerBlock(nn.Module):
@@ -205,7 +257,10 @@ class BasicTransformerBlock(nn.Module):
         )
         x = x + attn("attn1", None)(ln("norm1")(x))
         x = x + attn("attn2", self.cross_attention_dim)(ln("norm2")(x), context)
-        x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(ln("norm3")(x))
+        x = x + FeedForward(
+            self.dim, dtype=self.dtype, w8=split_backend(self.backend)[1],
+            name="ff",
+        )(ln("norm3")(x))
         return x
 
 
@@ -224,10 +279,11 @@ class Transformer2DModel(nn.Module):
     def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
         b, h, w, c = x.shape
         residual = x
+        w8 = split_backend(self.backend)[1]
         x = group_norm(c, 1e-6, self.dtype, "norm")(x)
         if self.use_linear_projection:
             x = x.reshape(b, h * w, c)
-            x = nn.Dense(c, dtype=self.dtype, name="proj_in")(x)
+            x = make_dense(w8, c, True, self.dtype, "proj_in")(x)
         else:
             x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(x)
             x = x.reshape(b, h * w, c)
@@ -241,7 +297,7 @@ class Transformer2DModel(nn.Module):
                 name=f"transformer_blocks_{i}",
             )(x, context)
         if self.use_linear_projection:
-            x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
+            x = make_dense(w8, c, True, self.dtype, "proj_out")(x)
             x = x.reshape(b, h, w, c)
         else:
             x = x.reshape(b, h, w, c)

@@ -1,0 +1,122 @@
+"""Weight-only int8 path: kernel parity, quantization error bounds, and the
+full dataflow through a UNet with backend '<attn>+w8' (the serving
+quality-gate VERDICT r2 #10 asks for: the tradeoff measured, not guessed)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from genima_tpu.kernels.w8_matmul import (
+    quantize_weight,
+    w8_matmul,
+    w8_matmul_interpret,
+)
+from genima_tpu.weights.quantize import quantize_dense_tree
+
+pytestmark = pytest.mark.fast
+
+
+def test_quantize_weight_error_bound():
+    k = jax.random.normal(jax.random.key(0), (64, 48)) * 0.3
+    w_q, scale = quantize_weight(k)
+    assert w_q.dtype == jnp.int8 and scale.shape == (48,)
+    deq = w_q.astype(jnp.float32) * scale[None, :]
+    # symmetric rounding: |err| <= scale/2 per element
+    err = np.abs(np.asarray(deq - k))
+    bound = np.asarray(scale)[None, :] * 0.5 + 1e-7
+    assert (err <= bound).all()
+
+
+def test_kernel_interpret_matches_fallback():
+    key = jax.random.key(1)
+    x = jax.random.normal(jax.random.fold_in(key, 0), (128, 320), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(key, 1), (320, 256)) * 0.1
+    w_q, scale = quantize_weight(w)
+    ref = (
+        jnp.dot(
+            x.astype(jnp.bfloat16), w_q.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        * scale[None, :]
+    ).astype(x.dtype)
+    out = w8_matmul_interpret(x, w_q, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_w8_matmul_close_to_full_precision():
+    key = jax.random.key(2)
+    x = jax.random.normal(jax.random.fold_in(key, 0), (4, 64, 320))
+    w = jax.random.normal(jax.random.fold_in(key, 1), (320, 640)) * 0.05
+    w_q, scale = quantize_weight(w)
+    out = w8_matmul(x, w_q, scale)
+    assert out.shape == (4, 64, 640)
+    ref = x @ w
+    rel = float(
+        jnp.linalg.norm(out.astype(jnp.float32) - ref) / jnp.linalg.norm(ref)
+    )
+    assert rel < 0.02, rel
+
+
+def test_unet_w8_backend_end_to_end():
+    """Tiny UNet, full forward: quantized tree + '+w8' backend vs full
+    precision — same structure, bounded drift (the serving quality gate)."""
+    from genima_tpu.nn.unet import UNet2DConditionModel, UNetConfig
+
+    cfg = UNetConfig.tiny()
+    x = jax.random.normal(jax.random.key(3), (1, 8, 8, 4))
+    t = jnp.array([4.0])
+    ctx = jax.random.normal(jax.random.key(4), (1, 77, 32))
+
+    ref_model = UNet2DConditionModel(cfg, dtype=jnp.float32, backend="xla")
+    params = ref_model.init(jax.random.key(5), x, t, ctx)["params"]
+    ref = ref_model.apply({"params": params}, x, t, ctx)
+
+    qparams = quantize_dense_tree(params)
+    w8_model = UNet2DConditionModel(cfg, dtype=jnp.float32, backend="xla+w8")
+    out = w8_model.apply({"params": qparams}, x, t, ctx)
+
+    assert out.shape == ref.shape
+    rel = float(jnp.linalg.norm(out - ref) / (jnp.linalg.norm(ref) + 1e-8))
+    assert rel < 0.05, rel
+
+
+def test_w8_param_tree_matches_module_init():
+    """quantize_dense_tree produces EXACTLY the tree the '+w8' module
+    declares (same leaf names/shapes/dtypes) — checkpoint-port safety."""
+    from genima_tpu.nn.unet import UNet2DConditionModel, UNetConfig
+
+    cfg = UNetConfig.tiny()
+    x = jnp.zeros((1, 8, 8, 4))
+    t = jnp.zeros((1,))
+    ctx = jnp.zeros((1, 77, 32))
+    ref_params = UNet2DConditionModel(cfg, backend="xla").init(
+        jax.random.key(0), x, t, ctx
+    )["params"]
+    q_tree = quantize_dense_tree(ref_params)
+    w8_params = UNet2DConditionModel(cfg, backend="xla+w8").init(
+        jax.random.key(0), x, t, ctx
+    )["params"]
+
+    flat_q = jax.tree_util.tree_flatten_with_path(q_tree)[0]
+    flat_w8 = jax.tree_util.tree_flatten_with_path(w8_params)[0]
+    paths_q = {jax.tree_util.keystr(p): (v.shape, v.dtype) for p, v in flat_q}
+    paths_w8 = {jax.tree_util.keystr(p): (v.shape, v.dtype) for p, v in flat_w8}
+    assert paths_q == paths_w8
+
+
+def test_controlnet_w8_smoke():
+    from genima_tpu.nn.controlnet import ControlNetModel
+    from genima_tpu.nn.unet import UNetConfig
+
+    cfg = UNetConfig.tiny()
+    x = jnp.zeros((1, 8, 8, 4))
+    t = jnp.zeros((1,))
+    ctx = jnp.zeros((1, 77, 32))
+    cond = jnp.zeros((1, 64, 64, 3))
+    ref = ControlNetModel(cfg, backend="xla")
+    params = ref.init(jax.random.key(0), x, t, ctx, cond)["params"]
+    qparams = quantize_dense_tree(params)
+    model = ControlNetModel(cfg, backend="xla+w8")
+    down, mid = model.apply({"params": qparams}, x, t, ctx, cond)
+    assert mid.shape[-1] == cfg.block_out_channels[-1]
