@@ -85,6 +85,18 @@ class DiffusionAgent:
             model_dir = ckpt.find_model_checkpoint(self.diffusion_ckpt, sub)
             params[sub] = ckpt.load_pytree(model_dir / "params.msgpack")
             print(f"Loaded {sub} checkpoint from {model_dir}")
+        if self.dtype == jnp.bfloat16:
+            # serving storage: bf16 compute casts every f32 param to bf16
+            # at use anyway, so pre-casting is numerically identical —
+            # and halves weight HBM traffic where XLA fuses the convert
+            # into the consumer instead of hoisting it (measured −2.2
+            # ms/gen on the flagship loop; PERF.md round 3). Also the only
+            # way SDXL's ~16 GB f32 tree fits one v5e.
+            params = jax.tree_util.tree_map(
+                lambda v: v.astype(jnp.bfloat16)
+                if getattr(v, "dtype", None) == jnp.float32 else v,
+                params,
+            )
         return params
 
     # -- episode RNG (reference: fixed torch.Generator(seed) per episode) ------
