@@ -62,12 +62,131 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads, sm_scale):
     o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
+def _resident_vmem_bytes(b, sq, sk, c, block_q, itemsize):
+    """Scoped-VMEM estimate for the resident-K/V kernel.
+
+    The full K/V live in VMEM per grid step. With b == 1 their block index
+    is constant across the whole grid, so Mosaic keeps a single buffer;
+    with b > 1 the K/V blocks vary along the batch grid dim and get
+    double-buffered — measured on v5e this pushes the 4096x320 SD level
+    from ~11.7 MB (fits) to 16.8 MB (over the 16 MB scoped limit)."""
+    bq = min(block_q, sq)
+    kv = 2 * sk * c * itemsize * (2 if b > 1 else 1)
+    qo = 2 * bq * c * itemsize * 2  # q + out blocks, double-buffered
+    scores = bq * sk * 4 * 2  # f32 scores + exp'd copy
+    acc = bq * c * 4
+    return kv + qo + scores + acc
+
+
+def _streaming_kernel(
+    q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
+    *, num_heads, sm_scale, n_kb
+):
+    """Online-softmax forward: K/V stream through VMEM in blocks along a
+    third grid dim, so the working set is bounded by the block sizes —
+    independent of batch and kv length. Used when the resident-K/V kernel
+    would exceed the scoped-VMEM limit (batched serving, very long rows)."""
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]      # (bq, C)
+    kblk = k_ref[0]   # (bk, C)
+    vblk = v_ref[0]
+    d = q.shape[-1] // num_heads
+    m_all = m_ref[...]    # (bq, H) f32 running row max per head
+    l_all = l_ref[...]    # (bq, H) f32 running normalizer
+    acc = acc_ref[...]    # (bq, C) f32 unnormalized output
+    new_m, new_l, new_acc, outs = [], [], [], []
+    for h in range(num_heads):
+        qh = jax.lax.slice_in_dim(q, h * d, (h + 1) * d, axis=1)
+        kh = jax.lax.slice_in_dim(kblk, h * d, (h + 1) * d, axis=1)
+        vh = jax.lax.slice_in_dim(vblk, h * d, (h + 1) * d, axis=1)
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale  # (bq, bk)
+        m_prev = jax.lax.slice_in_dim(m_all, h, h + 1, axis=1)
+        l_prev = jax.lax.slice_in_dim(l_all, h, h + 1, axis=1)
+        acc_h = jax.lax.slice_in_dim(acc, h * d, (h + 1) * d, axis=1)
+        m_nx = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_nx)
+        p = jnp.exp(s - m_nx)
+        l_nx = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(vblk.dtype), vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_nx = acc_h * alpha + o
+        new_m.append(m_nx)
+        new_l.append(l_nx)
+        new_acc.append(acc_nx)
+        outs.append(acc_nx / l_nx)
+    m_ref[...] = jnp.concatenate(new_m, axis=-1)
+    l_ref[...] = jnp.concatenate(new_l, axis=-1)
+    acc_ref[...] = jnp.concatenate(new_acc, axis=-1)
+
+    @pl.when(kb == n_kb - 1)
+    def _emit():
+        o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def _forward_streaming(q, k, v, num_heads, block_q, interpret, block_k=1024):
+    b, sq, c = q.shape
+    sk = k.shape[1]
+    block_q = min(block_q, sq)
+    block_k = min(block_k, sk)
+    assert sq % block_q == 0 and sk % block_k == 0, (sq, block_q, sk, block_k)
+    d = c // num_heads
+    n_kb = sk // block_k
+    grid = (b, sq // block_q, n_kb)
+    kernel = functools.partial(
+        _streaming_kernel,
+        num_heads=num_heads,
+        sm_scale=1.0 / (d**0.5),
+        n_kb=n_kb,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, c), lambda bi, i, kb: (bi, i, 0)),
+            pl.BlockSpec((1, block_k, c), lambda bi, i, kb: (bi, kb, 0)),
+            pl.BlockSpec((1, block_k, c), lambda bi, i, kb: (bi, kb, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, c), lambda bi, i, kb: (bi, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, sq, c), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, c), jnp.float32),
+            pltpu.VMEM((block_q, num_heads), jnp.float32),
+            pltpu.VMEM((block_q, num_heads), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * sq * sk * c,
+            bytes_accessed=(2 * b * sq * c + 2 * b * sk * c) * q.dtype.itemsize,
+            transcendentals=b * num_heads * sq * sk,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+
 def _forward(q, k, v, num_heads, block_q, interpret):
     b, sq, c = q.shape
     sk = k.shape[1]
     block_q = min(block_q, sq)
     assert sq % block_q == 0, (sq, block_q)
     d = c // num_heads
+    if (
+        _HAS_PLTPU
+        and _resident_vmem_bytes(b, sq, sk, c, block_q, q.dtype.itemsize)
+        > 14 * 2**20
+        and sk % min(1024, sk) == 0
+    ):
+        return _forward_streaming(q, k, v, num_heads, block_q, interpret)
     grid = (b, sq // block_q)
     kernel = functools.partial(
         _packed_kernel, num_heads=num_heads, sm_scale=1.0 / (d**0.5)

@@ -128,3 +128,46 @@ def test_flash_backward_fallback_cross():
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+@pytest.mark.parametrize("b,sq,sk,c,h,bk", [
+    (2, 256, 256, 320, 5, 128),   # multi-k-block online accumulation
+    (4, 256, 256, 640, 10, 64),   # batched serving shape class
+    (1, 128, 512, 320, 5, 128),   # kv longer than q
+])
+def test_streaming_forward_parity(b, sq, sk, c, h, bk):
+    """The k-blocked online-softmax forward (used when the resident-K/V
+    kernel would exceed scoped VMEM, e.g. batched serving) matches XLA."""
+    from genima_tpu.kernels.packed_attention import _forward_streaming
+
+    kq, kk, kv = jax.random.split(jax.random.key(b + sk + c), 3)
+    q = jax.random.normal(kq, (b, sq, c), jnp.float32)
+    k = jax.random.normal(kk, (b, sk, c), jnp.float32)
+    v = jax.random.normal(kv, (b, sk, c), jnp.float32)
+    interpret = jax.default_backend() != "tpu"
+    got = _forward_streaming(q, k, v, h, 128, interpret, block_k=bk)
+    want = _xla_reference(q, k, v, h)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_streaming_route_for_batched_large_seq():
+    """_forward routes batched large-S shapes to the streaming kernel (the
+    resident-K/V estimate exceeds scoped VMEM once K/V double-buffer along
+    the batch grid dim)."""
+    from genima_tpu.kernels.packed_attention import _resident_vmem_bytes
+
+    # bs=2 SD attn1 shape: over the limit -> streaming
+    assert _resident_vmem_bytes(2, 4096, 4096, 320, 128, 2) > 14 * 2**20
+    # bs=1 same shape: fits resident (the proven headline path)
+    assert _resident_vmem_bytes(1, 4096, 4096, 320, 128, 2) <= 14 * 2**20
+
+
+def test_streaming_bf16_stability():
+    from genima_tpu.kernels.packed_attention import _forward_streaming
+
+    q = 30.0 * jax.random.normal(jax.random.key(0), (2, 256, 320), jnp.bfloat16)
+    k = 30.0 * jax.random.normal(jax.random.key(1), (2, 256, 320), jnp.bfloat16)
+    v = jax.random.normal(jax.random.key(2), (2, 256, 320), jnp.bfloat16)
+    interpret = jax.default_backend() != "tpu"
+    out = _forward_streaming(q, k, v, 5, 128, interpret, block_k=128)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
