@@ -73,9 +73,13 @@ def main() -> None:
     jax.block_until_ready(params)
     print(f"param init: {time.time() - t0:.1f}s", file=sys.stderr)
 
-    embeds = jnp.zeros((1, 77, 1024), jnp.bfloat16)
-    cond = jax.random.uniform(jax.random.key(1), (1, 512, 512, 3), jnp.float32)
-    latents = pipe.init_latents(jax.random.key(2), 1, 512, 512)
+    bs = 1  # --bs=N: batched serving throughput (the headline stays bs=1)
+    for a in sys.argv[1:]:
+        if a.startswith("--bs="):
+            bs = int(a.split("=")[1])
+    embeds = jnp.zeros((bs, 77, 1024), jnp.bfloat16)
+    cond = jax.random.uniform(jax.random.key(1), (bs, 512, 512, 3), jnp.float32)
+    latents = pipe.init_latents(jax.random.key(2), bs, 512, 512)
 
     num_steps = 5
     t0 = time.time()
@@ -118,7 +122,7 @@ def main() -> None:
             _ = float(np.asarray(f(params, latents, length)))
             times.append(time.perf_counter() - t0)
         runs[length] = min(times)
-    per_gen_ms = (runs[20] - runs[4]) / 16 * 1000
+    per_gen_ms = (runs[20] - runs[4]) / 16 * 1000 / bs
     gens_per_sec = 1000.0 / per_gen_ms
 
     # ---- diagnostic: per-call latency with per-iteration readback ---------

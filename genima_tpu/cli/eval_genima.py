@@ -143,6 +143,30 @@ def main(argv=None, with_diffusion: bool = True):
         Path(eval_cfg.controller_ckpt) / "eval_logs",
         use_wandb=eval_cfg.get("wandb", {}).get("use", False),
     )
+    n_par = int(eval_cfg.get("num_parallel_envs", 1))
+    if n_par > 1:
+        # lockstep-batched eval: N envs, one batched TPU program per control
+        # step (the reference's eval is fully serial — model-card.md:39)
+        from genima_tpu.eval.parallel import ParallelGenimaEvalWorkspace
+
+        envs = [eval_env] + [
+            build_eval_env(eval_cfg, train_cfg, eval_cfg.controller_ckpt)
+            for _ in range(n_par - 1)
+        ]
+        workspace = ParallelGenimaEvalWorkspace(
+            eval_cfg,
+            envs,
+            controller_agent,
+            diffusion_agent=diffusion_agent,
+            cameras=eval_cfg.get("env", {}).get(
+                "cameras",
+                ["wrist", "front", "right_shoulder", "left_shoulder"],
+            ),
+            logger=logger,
+            tokenizer=load_tokenizer(eval_cfg.get("tokenizer_merges")),
+        )
+        return workspace.eval()
+
     from genima_tpu.eval.harness import GenimaEvalWorkspace
 
     workspace = GenimaEvalWorkspace(

@@ -427,7 +427,7 @@ class GenimaEvalWorkspace:
 
     # -- helpers -------------------------------------------------------------
 
-    def _rewrap_obs(self, raw_obs, wrapped_obs):
+    def _rewrap_obs(self, raw_obs, wrapped_obs, env=None):
         """reset_to_demo returns an unwrapped obs; re-apply EVERY observation
         transformation in the wrapper chain (NormProprio, OnehotTime, ...) in
         innermost-first order, and refill FrameStack's buffer so subsequent
@@ -440,7 +440,7 @@ class GenimaEvalWorkspace:
         from genima_tpu.envs.wrappers import FrameStack
 
         chain = []
-        env = self.eval_env
+        env = self.eval_env if env is None else env
         while hasattr(env, "env"):
             chain.append(env)
             env = env.env

@@ -1,0 +1,400 @@
+"""Lockstep-batched closed-loop evaluation — N episodes per TPU program.
+
+The reference evaluates episodes strictly serially and documents it as a
+known bottleneck (``model-card.md:39`` "Data generation and evaluation
+pipelines are completely sequential"; ``README.md:299``). On TPU the
+5-step tiled generation is MXU-underutilized at batch 1 (UNet ~41%,
+PERF.md), so evaluating N episodes in lockstep and batching their
+diffusion + ACT into ONE XLA program buys near-linear eval throughput on
+a single chip: every control step uploads all live observations, runs the
+denoise loop at batch ``N*frame_stack`` (the streaming attention kernel,
+``kernels/packed_attention.py``, keeps scoped VMEM bounded at batch > 1),
+untiles, runs ACT at batch N, and downloads all action chunks at once.
+
+Episode semantics are unchanged vs the serial harness: per-episode
+``reset_to_demo`` restore, per-episode fixed diffusion seed, the same
+success accounting, JSON schema, and running printout. Environments are
+stepped host-side in a thread pool (real RLBench sims are separate
+processes; the fake CI envs are cheap either way). Episodes that finish
+early stay in the batch with their final observation (static shapes — the
+program compiles once) but are masked out of stepping and accounting.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from genima_tpu.data.tiling import untile_to_cameras
+from genima_tpu.eval.harness import GenimaEvalWorkspace
+
+
+class BatchedGenimaStep:
+    """The fused control step (``eval/fused.py``) generalized to N
+    environments: tiled obs (N*fs, 2S, 2S, 3) -> diffusion -> untile ->
+    ACT at batch N -> (N, T, A) action chunks, one jitted program."""
+
+    def __init__(self, diffusion_agent, controller_agent, obs_size: int = 256):
+        self.pipe = diffusion_agent.pipe
+        self.controller = controller_agent
+        self.obs_size = obs_size
+        self._fn = jax.jit(
+            self._step_impl, static_argnames=("num_inference_steps",)
+        )
+
+    def _step_impl(
+        self,
+        diffusion_params,
+        controller_params,
+        clip_params,
+        tiled_u8,       # (N*fs, 2S, 2S, 3) uint8
+        prompt_embeds,  # (N*fs, 77, hidden)
+        latents,        # (N*fs, h, w, 4)
+        qpos,           # (N, state_dim*fs)
+        lang_tokens,    # (N, 77)
+        num_inference_steps: int = 5,
+    ):
+        n = qpos.shape[0]
+        target = self.pipe.generate(
+            diffusion_params, tiled_u8, prompt_embeds, latents,
+            num_inference_steps=num_inference_steps,
+        )  # (N*fs, 2S, 2S, 3) uint8
+        cams = untile_to_cameras(
+            target.astype(jnp.float32), target_size=self.obs_size
+        )  # (N*fs, V, S, S, 3)
+        nfs, v, s = cams.shape[0], cams.shape[1], self.obs_size
+        fs = nfs // n
+        # per env: camera-major then frame order, matching the serial path
+        act_images = (
+            cams.reshape(n, fs, v, s, s, 3)
+            .transpose(0, 2, 1, 3, 4, 5)
+            .reshape(n, v * fs, s, s, 3)
+        )
+        actions = self.controller._act_impl(
+            controller_params, clip_params, act_images, qpos, lang_tokens
+        )
+        return actions, target
+
+    def __call__(self, *args, num_inference_steps: int = 5):
+        return self._fn(*args, num_inference_steps=num_inference_steps)
+
+
+class ParallelGenimaEvalWorkspace(GenimaEvalWorkspace):
+    """Evaluates ``num_eval_episodes`` across ``len(eval_envs)`` lockstep
+    environments. Drop-in for ``GenimaEvalWorkspace`` (same constructor
+    plus a list of envs; same ``eval()``/``eval_checkpoints`` surface and
+    log schema)."""
+
+    def __init__(
+        self,
+        eval_cfg,
+        eval_envs,
+        controller_agent,
+        diffusion_agent=None,
+        cameras=("wrist", "front", "right_shoulder", "left_shoulder"),
+        logger=None,
+        tokenizer=None,
+    ):
+        eval_envs = list(eval_envs)
+        super().__init__(
+            eval_cfg, eval_envs[0], controller_agent, diffusion_agent,
+            cameras=cameras, logger=logger, tokenizer=tokenizer,
+        )
+        self.eval_envs = eval_envs
+        self._pool = ThreadPoolExecutor(max_workers=len(eval_envs))
+        self._batched_step = None
+        self._batched_gen_est = None
+
+    # -- batched sub-programs -------------------------------------------------
+
+    def _batched(self, obs_size: int):
+        if self._batched_step is None and self.diffusion_agent is not None:
+            self._batched_step = BatchedGenimaStep(
+                self.diffusion_agent, self.controller_agent, obs_size
+            )
+        return self._batched_step
+
+    def _slot_latents(self, slot, fs: int):
+        """Per-episode RNG chain per env (the serial agent's contract:
+        fixed generator seed per episode, split per generation)."""
+        slot["key"], sub = jax.random.split(slot["key"])
+        dag = self.diffusion_agent
+        return dag.pipe.init_latents(sub, fs, dag.resolution, dag.resolution)
+
+    def _assemble_batch(self, slots, fs: int):
+        tiled = np.concatenate([self._tile_obs(s["obs"], fs) for s in slots])
+        dag = self.diffusion_agent
+        embeds = jnp.concatenate(
+            [
+                dag._embed_prompts(self._prompts(s["goal"], fs)[0])
+                for s in slots
+            ]
+        )
+        latents = jnp.concatenate([self._slot_latents(s, fs) for s in slots])
+        qpos = np.concatenate(
+            [
+                s["obs"]["low_dim_state"].reshape(1, -1).astype(np.float32)
+                for s in slots
+            ]
+        )
+        lang = np.concatenate([s["lang"] for s in slots])
+        return tiled, embeds, latents, qpos, lang
+
+    def _measure_batched_gen(self, tiled, embeds, latents) -> float:
+        """One-off timing of the batched diffusion sub-program, used to
+        attribute the fused program's time to gen/control phases (the
+        reference logs the phases separately)."""
+        dag = self.diffusion_agent
+        steps = self.eval_cfg.get("num_diffusion_steps", 5)
+
+        def gen():
+            out = dag.pipe.generate(
+                dag.params, jnp.asarray(tiled), embeds, latents,
+                num_inference_steps=steps,
+            )
+            np.asarray(out)[0, 0, 0]  # force completion through the relay
+        gen()  # compile
+        t0 = time.time()
+        gen()
+        return time.time() - t0
+
+    def _batched_act_only(self, slots, fs: int):
+        """ACT-only harness (no diffusion): raw RGB views batched over N."""
+        views = []
+        for s in slots:
+            obs = s["obs"]
+            vs = [
+                np.transpose(obs[f"{cam}_rgb"][t], (1, 2, 0))
+                for cam in self.cameras
+                for t in range(fs)
+            ]
+            views.append(np.stack(vs))
+        images = np.stack(views).astype(np.float32)  # (N, V*fs, S, S, 3)
+        qpos = np.concatenate(
+            [
+                s["obs"]["low_dim_state"].reshape(1, -1).astype(np.float32)
+                for s in slots
+            ]
+        )
+        lang = np.concatenate([s["lang"] for s in slots])
+        actions = self.controller_agent.act(
+            self.controller_params, images, qpos, lang
+        )
+        return np.asarray(actions)
+
+    # -- the lockstep loop ----------------------------------------------------
+
+    def _reset_slot(self, env, episode_idx: int) -> dict:
+        if self.diffusion_agent is not None:
+            seed = getattr(self.diffusion_agent, "seed", 2)
+        else:
+            seed = 2
+        obs, info = env.reset()
+        goal = info.get("descriptions", "")
+        if hasattr(env.unwrapped, "reset_to_demo"):
+            _, raw_obs = env.unwrapped.reset_to_demo(idx=episode_idx)
+            obs = self._rewrap_obs(raw_obs, obs, env)
+        pose_fn = getattr(env.unwrapped, "initial_object_pose", None)
+        return {
+            "env": env,
+            "ep": episode_idx,
+            "obs": obs,
+            "goal": goal,
+            "lang": self._lang_tokens(goal, obs),
+            "key": jax.random.key(seed),
+            "done": False,
+            "reward": 0.0,
+            "steps": 0,
+            "pose": pose_fn() if callable(pose_fn) else None,
+        }
+
+    def _step_slot(self, slot, actions, execution_horizon, episode_length):
+        actions = actions[:execution_horizon]
+        try:
+            obs, reward, term, trunc, _info = slot["env"].step(actions)
+            slot["obs"] = obs
+            slot["reward"] = reward
+            slot["done"] = term or trunc
+        except Exception as e:  # sim failure -> terminate this episode
+            print(f"Error (env slot, episode {slot['ep']}): {e}")
+            slot["done"] = True
+        slot["steps"] += len(actions)
+        if slot["steps"] > episode_length:
+            slot["done"] = True
+
+    def eval_checkpoints(self, eval_ckpts: list[str]) -> dict:
+        cfg = self.eval_cfg
+        n_envs = len(self.eval_envs)
+        logs = {"eval_episodes": []}
+        logs_path = Path(cfg.controller_ckpt) / f"eval_genima_{cfg.task}.json"
+        execution_horizon = cfg.get("execution_horizon", 20)
+        episode_length = cfg.get("episode_length", 200)
+        num_eps = cfg.get("num_eval_episodes", 10)
+
+        global_episode, global_total_reward = 0, 0.0
+        for run_id, eval_ckpt in enumerate(eval_ckpts):
+            print(f"\n-------- Run {run_id} (parallel x{n_envs}) ---------")
+            self.load_controller_ckpt(Path(cfg.controller_ckpt) / eval_ckpt)
+            run_episode, run_total_reward = 0, 0.0
+            timings = {
+                "gen_time": [], "control_time": [], "fused_step_time": [],
+            }
+
+            for start in range(0, num_eps, n_envs):
+                eps = list(range(start, min(start + n_envs, num_eps)))
+                # pad the final round: extra slots re-run an episode but are
+                # excluded from accounting (static batch -> one compile)
+                slots = [
+                    self._reset_slot(self.eval_envs[si], eps[si % len(eps)])
+                    for si in range(n_envs)
+                ]
+                for si in range(len(eps), n_envs):
+                    slots[si]["counted"] = False
+                for si in range(len(eps)):
+                    slots[si]["counted"] = True
+                fs = slots[0]["obs"][f"{self.cameras[0]}_rgb"].shape[0]
+                self.video.init(
+                    slots[0]["env"],
+                    enabled=cfg.get("save_video", False),
+                )
+
+                while not all(s["done"] for s in slots if s["counted"]):
+                    live = sum(
+                        1 for s in slots if s["counted"] and not s["done"]
+                    )
+                    if self.diffusion_agent is not None:
+                        tiled, embeds, latents, qpos, lang = (
+                            self._assemble_batch(slots, fs)
+                        )
+                        obs_size = slots[0]["obs"][
+                            f"{self.cameras[0]}_rgb"
+                        ].shape[-1]
+                        step = self._batched(obs_size)
+                        t0 = time.time()
+                        actions, _gen = step(
+                            self.diffusion_agent.params,
+                            self.controller_params,
+                            self.controller_agent._clip_params,
+                            jnp.asarray(tiled),
+                            embeds,
+                            latents,
+                            jnp.asarray(qpos),
+                            jnp.asarray(lang),
+                            num_inference_steps=cfg.get(
+                                "num_diffusion_steps", 5
+                            ),
+                        )
+                        actions = np.asarray(actions)
+                        dt = time.time() - t0
+                        timings["fused_step_time"].append(dt)
+                        if self._batched_gen_est is None:
+                            self._batched_gen_est = self._measure_batched_gen(
+                                tiled, embeds, latents
+                            )
+                        gen_est = min(self._batched_gen_est, dt)
+                        # amortized per-live-episode attribution
+                        timings["gen_time"].append(gen_est / max(live, 1))
+                        timings["control_time"].append(
+                            (dt - gen_est) / max(live, 1)
+                        )
+                    else:
+                        t0 = time.time()
+                        actions = self._batched_act_only(slots, fs)
+                        timings["control_time"].append(
+                            (time.time() - t0) / max(live, 1)
+                        )
+
+                    futures = [
+                        self._pool.submit(
+                            self._step_slot, s, actions[si],
+                            execution_horizon, episode_length,
+                        )
+                        for si, s in enumerate(slots)
+                        if s["counted"] and not s["done"]
+                    ]
+                    for f in futures:
+                        f.result()
+                    self.video.record(slots[0]["env"])
+
+                for s in (s for s in slots if s["counted"]):
+                    episode_success = float(np.clip(s["reward"], 0.0, 1.0))
+                    run_total_reward += episode_success
+                    run_episode += 1
+                    global_total_reward += episode_success
+                    global_episode += 1
+                    logs["eval_episodes"].append(
+                        {
+                            "episode": run_episode,
+                            "reward": float(s["reward"]),
+                            "global_episode": global_episode,
+                            "global_reward": global_total_reward,
+                            "steps": s["steps"],
+                            "run_id": run_id,
+                            "controller_ckpt": eval_ckpt,
+                            "initial_object_pose": s["pose"],
+                        }
+                    )
+                    print(
+                        f"Episode {run_episode:>02}\t| Reward - run{run_id}: "
+                        f"{s['reward']:.1f} ({int(run_total_reward)}/"
+                        f"{run_episode}="
+                        f"{run_total_reward / run_episode * 100:.1f}%)\t| "
+                        f"Steps: {s['steps']}\t| Gen Time: "
+                        f"{np.mean(timings['gen_time'] or [0]):.4f}s\t| "
+                        f"Control Time: "
+                        f"{np.mean(timings['control_time'] or [0]):.4f}s"
+                    )
+                logs_path.parent.mkdir(parents=True, exist_ok=True)
+                with open(logs_path, "w") as f:
+                    json.dump(logs, f, indent=4)
+                if cfg.get("save_video", False):
+                    s0 = slots[0]
+                    success = "succ" if s0["reward"] > 0.9 else "fail"
+                    self.video.save(
+                        f"{cfg.task}_ep{s0['ep'] + 1}_{success}.mp4"
+                    )
+                if self.logger is not None:
+                    self.logger.log_metrics(
+                        {
+                            "success": global_total_reward
+                            / float(max(global_episode, 1)),
+                            "episode": global_episode,
+                            "gen_time": float(
+                                np.mean(timings["gen_time"] or [0])
+                            ),
+                            "control_time": float(
+                                np.mean(timings["control_time"] or [0])
+                            ),
+                            "fused_step_time": float(
+                                np.mean(timings["fused_step_time"] or [0])
+                            ),
+                            "num_parallel_envs": n_envs,
+                        },
+                        global_episode,
+                        prefix="eval_genima",
+                        echo=False,
+                    )
+
+        logs["results"] = {
+            "avg_success": f"{global_total_reward / float(max(global_episode, 1))}",
+            "total_success": global_total_reward,
+            "total_episodes": global_episode,
+            "eval_type": self.eval_cfg.get("eval_type", "latest"),
+            "num_parallel_envs": n_envs,
+        }
+        with open(logs_path, "w") as f:
+            json.dump(logs, f, indent=4)
+        print("----------------------")
+        print(
+            f"Average of {global_episode} episodes "
+            f"(parallel x{n_envs}, {len(eval_ckpts)} runs): "
+            f"{global_total_reward / float(max(global_episode, 1)) * 100:.2f}%"
+        )
+        return logs

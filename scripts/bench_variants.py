@@ -26,11 +26,19 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def zeros_init(pipe, image_size: int) -> dict:
+def zeros_init(pipe, image_size: int, bf16: bool = False) -> dict:
+    """On-device zeros with the real tree structure. ``bf16=True`` stores
+    f32 leaves as bf16: SDXL UNet+ControlNet+VAE+2 encoders in f32 is
+    ~16 GB — over one v5e's HBM. A single-chip SDXL deployment must store
+    bf16 (compute is bf16 either way: apply() casts to pipe.dtype), so the
+    bench does too."""
     shapes = jax.eval_shape(
         lambda: pipe.init_params(jax.random.key(0), image_size=image_size)
     )
-    return jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    def mk(s):
+        dt = jnp.bfloat16 if (bf16 and s.dtype == jnp.float32) else s.dtype
+        return jnp.zeros(s.shape, dt)
+    return jax.tree_util.tree_map(mk, shapes)
 
 
 def slope(chain_fn, params, lengths=(3, 9), calls=4):
@@ -55,7 +63,7 @@ def bench_sdxl(size: int):
     from genima_tpu.diffusion.pipeline import SDXLControlNetPipeline
 
     pipe = SDXLControlNetPipeline()
-    params = zeros_init(pipe, size)
+    params = zeros_init(pipe, size, bf16=True)
     jax.block_until_ready(params)
     ctx = pipe.text_cfg.hidden_size + pipe.text_cfg_2.hidden_size
     embeds = jnp.zeros((1, 77, ctx), jnp.bfloat16)
