@@ -153,6 +153,18 @@ def main(argv=None, with_diffusion: bool = True):
             build_eval_env(eval_cfg, train_cfg, eval_cfg.controller_ckpt)
             for _ in range(n_par - 1)
         ]
+        mesh = None
+        if eval_cfg.get("eval_data_parallel", False):
+            # shard the lockstep batch across the chips (DP serving);
+            # num_parallel_envs must be a multiple of the mesh size
+            import jax
+
+            from genima_tpu.core.mesh import make_mesh
+
+            n_chips = int(
+                eval_cfg.get("eval_mesh_devices", 0) or jax.device_count()
+            )
+            mesh = make_mesh(n_data=n_chips)
         workspace = ParallelGenimaEvalWorkspace(
             eval_cfg,
             envs,
@@ -164,6 +176,7 @@ def main(argv=None, with_diffusion: bool = True):
             ),
             logger=logger,
             tokenizer=load_tokenizer(eval_cfg.get("tokenizer_merges")),
+            mesh=mesh,
         )
         return workspace.eval()
 

@@ -39,15 +39,53 @@ from genima_tpu.eval.harness import GenimaEvalWorkspace
 class BatchedGenimaStep:
     """The fused control step (``eval/fused.py``) generalized to N
     environments: tiled obs (N*fs, 2S, 2S, 3) -> diffusion -> untile ->
-    ACT at batch N -> (N, T, A) action chunks, one jitted program."""
+    ACT at batch N -> (N, T, A) action chunks, one jitted program.
 
-    def __init__(self, diffusion_agent, controller_agent, obs_size: int = 256):
+    With ``mesh`` (a ``Mesh`` with a ``data`` axis), the program is
+    GSPMD-sharded: params replicated, every batch axis split over the
+    mesh — N lockstep environments spread across the chips of a pod
+    slice, the serving-side mirror of the DP training step. Requires
+    ``N % mesh data size == 0``.
+    """
+
+    def __init__(
+        self, diffusion_agent, controller_agent, obs_size: int = 256,
+        mesh=None,
+    ):
         self.pipe = diffusion_agent.pipe
         self.controller = controller_agent
         self.obs_size = obs_size
-        self._fn = jax.jit(
-            self._step_impl, static_argnames=("num_inference_steps",)
-        )
+        self.mesh = mesh
+        if mesh is not None:
+            from genima_tpu.core.mesh import data_sharding, replicated
+
+            self._rep = replicated(mesh)
+            self._dat = data_sharding(mesh)
+            self._param_key = None
+            self._param_cache = None
+            # pjit with in_shardings forbids kwargs -> static by position
+            self._fn = jax.jit(
+                self._step_impl,
+                static_argnums=(8,),
+                in_shardings=(self._rep,) * 3 + (self._dat,) * 5,
+                out_shardings=(self._dat, self._dat),
+            )
+        else:
+            self._fn = jax.jit(
+                self._step_impl, static_argnames=("num_inference_steps",)
+            )
+
+    def _placed(self, diffusion_params, controller_params, clip_params):
+        """Replicate the three param trees over the mesh ONCE per tree
+        identity (re-placing 1.4 GB every control step would dominate)."""
+        key = (id(diffusion_params), id(controller_params), id(clip_params))
+        if self._param_key != key:
+            self._param_cache = tuple(
+                jax.device_put(t, self._rep)
+                for t in (diffusion_params, controller_params, clip_params)
+            )
+            self._param_key = key
+        return self._param_cache
 
     def _step_impl(
         self,
@@ -83,6 +121,12 @@ class BatchedGenimaStep:
         return actions, target
 
     def __call__(self, *args, num_inference_steps: int = 5):
+        if self.mesh is not None:
+            params = self._placed(*args[:3])
+            batch = tuple(
+                jax.device_put(jnp.asarray(a), self._dat) for a in args[3:]
+            )
+            return self._fn(*params, *batch, num_inference_steps)
         return self._fn(*args, num_inference_steps=num_inference_steps)
 
 
@@ -101,12 +145,22 @@ class ParallelGenimaEvalWorkspace(GenimaEvalWorkspace):
         cameras=("wrist", "front", "right_shoulder", "left_shoulder"),
         logger=None,
         tokenizer=None,
+        mesh=None,
     ):
         eval_envs = list(eval_envs)
         super().__init__(
             eval_cfg, eval_envs[0], controller_agent, diffusion_agent,
             cameras=cameras, logger=logger, tokenizer=tokenizer,
         )
+        if mesh is not None:
+            n_data = mesh.shape.get("data", mesh.devices.size)
+            if len(eval_envs) % n_data:
+                raise ValueError(
+                    f"num_parallel_envs ({len(eval_envs)}) must be a "
+                    f"multiple of the mesh data size ({n_data}) so the "
+                    "lockstep batch shards evenly"
+                )
+        self.mesh = mesh
         self.eval_envs = eval_envs
         self._pool = ThreadPoolExecutor(max_workers=len(eval_envs))
         self._batched_step = None
@@ -117,7 +171,8 @@ class ParallelGenimaEvalWorkspace(GenimaEvalWorkspace):
     def _batched(self, obs_size: int):
         if self._batched_step is None and self.diffusion_agent is not None:
             self._batched_step = BatchedGenimaStep(
-                self.diffusion_agent, self.controller_agent, obs_size
+                self.diffusion_agent, self.controller_agent, obs_size,
+                mesh=self.mesh,
             )
         return self._batched_step
 

@@ -180,6 +180,29 @@ def test_eval_genima_cli_with_tiny_diffusion(tmp_path):
     )
     assert logs["results"]["total_episodes"] == 1
     assert (work / "eval_genima_fake_reach.json").exists()
+
+    # lockstep-parallel + DP-sharded serving through the same CLI
+    logs = eval_genima.main(
+        [
+            f"controller_ckpt={work}",
+            "task=fake_reach",
+            "env.factory=fake",
+            "env.image_size=32",
+            "episode_length=20",
+            "num_eval_episodes=2",
+            "num_parallel_envs=2",
+            "eval_data_parallel=true",
+            "eval_mesh_devices=2",
+            "execution_horizon=6",
+            "eval_type=latest",
+            "num_diffusion_steps=2",
+            "diffusion_agent._target_=genima_tpu.eval.agents.make_tiny_sd_agent",
+            "+diffusion_agent.resolution=64",
+            "enable_xformers_memory_efficient_attention=false",
+        ]
+    )
+    assert logs["results"]["total_episodes"] == 2
+    assert logs["results"]["num_parallel_envs"] == 2
     saved = json.loads((work / "eval_genima_fake_reach.json").read_text())
     assert "results" in saved
 

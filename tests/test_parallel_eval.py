@@ -167,6 +167,86 @@ def test_parallel_eval_with_diffusion(trained_ctrl):
     assert (work_dir / "eval_genima_fake_reach.json").exists()
 
 
+def test_batched_step_mesh_matches_unsharded():
+    """GSPMD-sharded BatchedGenimaStep (2-device data mesh) == unsharded."""
+    from genima_tpu.core.mesh import make_mesh
+
+    dag = _tiny_diffusion_agent()
+    agent, params = _tiny_controller()
+    plain = BatchedGenimaStep(dag, agent, obs_size=32)
+    mesh = make_mesh(n_data=2)
+    sharded = BatchedGenimaStep(dag, agent, obs_size=32, mesh=mesh)
+
+    fs = 1
+    rng = np.random.default_rng(3)
+    tiled = rng.integers(0, 255, (2 * fs, 64, 64, 3), np.uint8)
+    embeds = jnp.concatenate(
+        [dag._embed_prompts(["a"] * fs), dag._embed_prompts(["b"] * fs)]
+    )
+    lat = dag.pipe.init_latents(jax.random.key(7), 2 * fs, 64, 64)
+    qpos = jnp.asarray(rng.normal(size=(2, 8)), jnp.float32)
+    lang = jnp.zeros((2, 77), jnp.int32)
+    args = (dag.params, params, agent._clip_params,
+            jnp.asarray(tiled), embeds, lat, qpos, lang)
+
+    acts_p, tgt_p = plain(*args, num_inference_steps=2)
+    acts_s, tgt_s = sharded(*args, num_inference_steps=2)
+    # GSPMD partitioning changes fusion/reduction order -> last-ulp float
+    # drift; allow one uint8 quantization step on the decoded image
+    np.testing.assert_allclose(
+        np.asarray(tgt_s).astype(np.int32),
+        np.asarray(tgt_p).astype(np.int32),
+        atol=1,
+    )
+    np.testing.assert_allclose(
+        np.asarray(acts_s), np.asarray(acts_p), atol=1e-4
+    )
+    # params are replicated once and cached, not re-placed per call
+    assert sharded._param_key is not None
+    cached = sharded._param_cache
+    sharded(*args, num_inference_steps=2)
+    assert sharded._param_cache is cached
+
+
+def test_parallel_eval_with_mesh(trained_ctrl):
+    """End-to-end lockstep eval with the batch sharded over 2 devices."""
+    from genima_tpu.core.mesh import make_mesh
+
+    factory, agent, work_dir = trained_ctrl
+    dag = _tiny_diffusion_agent()
+    envs = [
+        factory.make_eval_env(
+            frame_stack=1, action_sequence=10, stats_path=str(work_dir)
+        )
+        for _ in range(2)
+    ]
+    ws = ParallelGenimaEvalWorkspace(
+        _eval_cfg(work_dir, 2, 2), envs, agent, diffusion_agent=dag,
+        mesh=make_mesh(n_data=2),
+    )
+    logs = ws.eval()
+    assert logs["results"]["total_episodes"] == 2
+
+
+def test_parallel_eval_mesh_divisibility(trained_ctrl):
+    """3 envs over a 2-device data mesh must be rejected loudly."""
+    from genima_tpu.core.mesh import make_mesh
+
+    factory, agent, work_dir = trained_ctrl
+    dag = _tiny_diffusion_agent()
+    envs = [
+        factory.make_eval_env(
+            frame_stack=1, action_sequence=10, stats_path=str(work_dir)
+        )
+        for _ in range(3)
+    ]
+    with pytest.raises(ValueError, match="multiple of the mesh"):
+        ParallelGenimaEvalWorkspace(
+            _eval_cfg(work_dir, 3, 3), envs, agent, diffusion_agent=dag,
+            mesh=make_mesh(n_data=2),
+        )
+
+
 def test_parallel_eval_act_only(trained_ctrl):
     """ACT-only (diffusion_agent=None) batches raw RGB over N envs."""
     factory, agent, work_dir = trained_ctrl
