@@ -103,12 +103,35 @@ class DiffusionAgent:
 
     def new_episode(self) -> None:
         self._episode_key = jax.random.key(self.seed)
+        self._noise_key = jax.random.key(self.seed + 1)
 
     def _next_latents(self, batch: int) -> jax.Array:
         if not hasattr(self, "_episode_key"):
             self.new_episode()
         self._episode_key, sub = jax.random.split(self._episode_key)
         return self.pipe.init_latents(sub, batch, self.resolution, self.resolution)
+
+    def _next_key(self) -> jax.Array:
+        """Fresh subkey from a SEPARATE per-episode noise chain (the
+        ancestral-noise input of the fused step; unused by DDIM-style
+        pipelines but always threaded so the fused program signature is
+        family-independent). Separate so that threading it does not perturb
+        the latent stream of pipelines that ignore it."""
+        if not hasattr(self, "_noise_key"):
+            self._noise_key = jax.random.key(self.seed + 1)
+        self._noise_key, sub = jax.random.split(self._noise_key)
+        return sub
+
+    def fused_generate(
+        self, params, cond, embeds, latents, key,
+        num_inference_steps: int = 5,
+    ):
+        """Device-side generate with a family-independent signature, the
+        hook the fused/batched control steps (``eval/fused.py``,
+        ``eval/parallel.py``) trace: ``embeds`` is whatever
+        ``_embed_prompts`` returned (a pytree), ``key`` feeds pipelines
+        with in-loop noise (EulerAncestral) and is ignored otherwise."""
+        raise NotImplementedError
 
     # -- prompt handling -----------------------------------------------------
 
@@ -176,6 +199,14 @@ class SDControlNetAgent(DiffusionAgent):
             )
         )
 
+    def fused_generate(self, params, cond, embeds, latents, key,
+                       num_inference_steps: int = 5):
+        # key unused: DDIM/Euler-discrete turbo sampling injects no noise
+        return self.pipe.generate(
+            params, cond, embeds, latents,
+            num_inference_steps=num_inference_steps,
+        )
+
 
 @dataclasses.dataclass(eq=False)
 class SDXLControlNetAgent(DiffusionAgent):
@@ -187,20 +218,36 @@ class SDXLControlNetAgent(DiffusionAgent):
             use_tiny_vae=self.autoencoder == "taesd",
         )
 
-    def infer(self, images, prompts, negative_prompts=None,
-              num_inference_steps=None, guidance_scale=None):
+    def infer_device(self, images, prompts, negative_prompts=None,
+                     num_inference_steps=None, guidance_scale=None):
         steps = num_inference_steps or self.num_inference_steps
         cond = jnp.asarray(images)
         if cond.dtype != jnp.uint8:
             cond = cond.astype(jnp.float32) / 255.0
-        embeds, pooled = self._embed_prompts(prompts)
+        embeds = self._embed_prompts(prompts)
         latents = self._next_latents(cond.shape[0])
-        self._episode_key, sub = jax.random.split(self._episode_key)
-        out = self.pipe.generate(
-            self.params, cond, embeds, pooled, latents, sub,
+        return self.fused_generate(
+            self.params, cond, embeds, latents, self._next_key(),
             num_inference_steps=steps,
         )
-        return np.asarray(out)
+
+    def infer(self, images, prompts, negative_prompts=None,
+              num_inference_steps=None, guidance_scale=None):
+        return np.asarray(
+            self.infer_device(
+                images, prompts, negative_prompts, num_inference_steps,
+                guidance_scale,
+            )
+        )
+
+    def fused_generate(self, params, cond, embeds, latents, key,
+                       num_inference_steps: int = 5):
+        # embeds = (hidden, pooled); key drives EulerAncestral noise
+        hidden, pooled = embeds
+        return self.pipe.generate(
+            params, cond, hidden, pooled, latents, key,
+            num_inference_steps=num_inference_steps,
+        )
 
 
 @dataclasses.dataclass(eq=False)
@@ -217,18 +264,34 @@ class SDPix2PixAgent(DiffusionAgent):
     def _model_subdir(self) -> str:
         return "unet"
 
-    def infer(self, images, prompts, negative_prompts=None,
-              num_inference_steps=None, guidance_scale=None):
+    def infer_device(self, images, prompts, negative_prompts=None,
+                     num_inference_steps=None, guidance_scale=None):
         steps = num_inference_steps or self.num_inference_steps
         cond = jnp.asarray(images)
         if cond.dtype != jnp.uint8:
             cond = cond.astype(jnp.float32) / 127.5 - 1.0
         embeds = self._embed_prompts(prompts)
         latents = self._next_latents(cond.shape[0])
-        out = self.pipe.generate(
+        return self.pipe.generate(
             self.params, cond, embeds, latents, num_inference_steps=steps
         )
-        return np.asarray(out)
+
+    def infer(self, images, prompts, negative_prompts=None,
+              num_inference_steps=None, guidance_scale=None):
+        return np.asarray(
+            self.infer_device(
+                images, prompts, negative_prompts, num_inference_steps,
+                guidance_scale,
+            )
+        )
+
+    def fused_generate(self, params, cond, embeds, latents, key,
+                       num_inference_steps: int = 5):
+        # key unused: pix2pix turbo sampling injects no in-loop noise
+        return self.pipe.generate(
+            params, cond, embeds, latents,
+            num_inference_steps=num_inference_steps,
+        )
 
 
 def make_tiny_sd_agent(resolution: int = 64, **kw) -> SDControlNetAgent:
@@ -247,3 +310,43 @@ def make_tiny_sd_agent(resolution: int = 64, **kw) -> SDControlNetAgent:
     )
     kw.pop("sd_ckpt", None)
     return SDControlNetAgent(pipe=pipe, resolution=resolution, **kw)
+
+
+def make_tiny_sdxl_agent(resolution: int = 64, **kw) -> SDXLControlNetAgent:
+    """Tiny-config SDXL agent for CI/smoke runs (hydra-targetable)."""
+    import jax.numpy as jnp
+
+    from genima_tpu.nn.clip_text import CLIPTextConfig
+    from genima_tpu.nn.unet import UNetConfig
+    from genima_tpu.nn.vae import VAEConfig
+
+    pipe = SDXLControlNetPipeline(
+        unet_cfg=UNetConfig.tiny(
+            addition_embed_type="text_time", addition_time_embed_dim=8,
+            cross_attention_dim=48,
+        ),
+        vae_cfg=VAEConfig.tiny_test(scaling_factor=0.13025),
+        text_cfg=CLIPTextConfig.tiny(hidden_size=16, num_heads=2),
+        text_cfg_2=CLIPTextConfig.tiny(hidden_size=32, projection_dim=16),
+        dtype=jnp.float32,
+    )
+    kw.pop("sd_ckpt", None)
+    return SDXLControlNetAgent(pipe=pipe, resolution=resolution, **kw)
+
+
+def make_tiny_pix2pix_agent(resolution: int = 64, **kw) -> SDPix2PixAgent:
+    """Tiny-config InstructPix2Pix agent for CI/smoke runs."""
+    import jax.numpy as jnp
+
+    from genima_tpu.nn.clip_text import CLIPTextConfig
+    from genima_tpu.nn.unet import UNetConfig
+    from genima_tpu.nn.vae import VAEConfig
+
+    pipe = SDPix2PixPipeline(
+        unet_cfg=UNetConfig.tiny(in_channels=8),
+        vae_cfg=VAEConfig.tiny_test(),
+        text_cfg=CLIPTextConfig.tiny(),
+        dtype=jnp.float32,
+    )
+    kw.pop("sd_ckpt", None)
+    return SDPix2PixAgent(pipe=pipe, resolution=resolution, **kw)

@@ -28,6 +28,9 @@ class FusedGenimaStep:
 
     def __init__(self, diffusion_agent, controller_agent, obs_size: int = 256):
         self.pipe = diffusion_agent.pipe
+        # family-independent generate hook (SD / SDXL / Pix2Pix); plain
+        # pipe fallback keeps bench scripts constructible from a bare pipe
+        self._gen = getattr(diffusion_agent, "fused_generate", None)
         self.controller = controller_agent
         self.obs_size = obs_size
         self._fn = jax.jit(
@@ -40,16 +43,23 @@ class FusedGenimaStep:
         controller_params,
         clip_params,
         tiled_u8,  # (fs, 2S, 2S, 3) uint8
-        prompt_embeds,  # (fs, 77, hidden)
+        prompt_embeds,  # pytree: (fs, 77, hidden) [+ pooled for SDXL]
         latents,  # (fs, h, w, 4)
         qpos,  # (1, state_dim*fs)
         lang_tokens,  # (1, 77)
+        key=None,  # ancestral-noise key (SDXL); ignored by SD/Pix2Pix
         num_inference_steps: int = 5,
     ):
-        target = self.pipe.generate(
-            diffusion_params, tiled_u8, prompt_embeds, latents,
-            num_inference_steps=num_inference_steps,
-        )  # (fs, 2S, 2S, 3) uint8
+        if self._gen is not None:
+            target = self._gen(
+                diffusion_params, tiled_u8, prompt_embeds, latents, key,
+                num_inference_steps=num_inference_steps,
+            )
+        else:
+            target = self.pipe.generate(
+                diffusion_params, tiled_u8, prompt_embeds, latents,
+                num_inference_steps=num_inference_steps,
+            )  # (fs, 2S, 2S, 3) uint8
         cams = untile_to_cameras(
             target.astype(jnp.float32), target_size=self.obs_size
         )  # (fs, 4, S, S, 3) in [0, 255]
@@ -71,10 +81,11 @@ class FusedGenimaStep:
         latents,
         qpos,
         lang_tokens,
+        key=None,
         num_inference_steps: int = 5,
     ):
         return self._fn(
             diffusion_params, controller_params, clip_params, tiled_u8,
-            prompt_embeds, latents, qpos, lang_tokens,
+            prompt_embeds, latents, qpos, lang_tokens, key,
             num_inference_steps=num_inference_steps,
         )

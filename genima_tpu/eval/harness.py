@@ -140,6 +140,7 @@ class GenimaEvalWorkspace:
             latents,
             jnp.asarray(qpos),
             jnp.asarray(lang_tokens),
+            key=dag._next_key(),
             num_inference_steps=self.eval_cfg.get("num_diffusion_steps", 5),
         )
         return np.asarray(actions[0]), target

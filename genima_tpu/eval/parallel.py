@@ -53,6 +53,8 @@ class BatchedGenimaStep:
         mesh=None,
     ):
         self.pipe = diffusion_agent.pipe
+        # family-independent generate hook (SD / SDXL / Pix2Pix)
+        self._gen = getattr(diffusion_agent, "fused_generate", None)
         self.controller = controller_agent
         self.obs_size = obs_size
         self.mesh = mesh
@@ -66,8 +68,10 @@ class BatchedGenimaStep:
             # pjit with in_shardings forbids kwargs -> static by position
             self._fn = jax.jit(
                 self._step_impl,
-                static_argnums=(8,),
-                in_shardings=(self._rep,) * 3 + (self._dat,) * 5,
+                static_argnums=(9,),
+                in_shardings=(self._rep,) * 3
+                + (self._dat,) * 5
+                + (self._rep,),  # the noise key is replicated
                 out_shardings=(self._dat, self._dat),
             )
         else:
@@ -93,17 +97,24 @@ class BatchedGenimaStep:
         controller_params,
         clip_params,
         tiled_u8,       # (N*fs, 2S, 2S, 3) uint8
-        prompt_embeds,  # (N*fs, 77, hidden)
+        prompt_embeds,  # pytree: (N*fs, 77, hidden) [+ pooled for SDXL]
         latents,        # (N*fs, h, w, 4)
         qpos,           # (N, state_dim*fs)
         lang_tokens,    # (N, 77)
+        key=None,       # ancestral-noise key (SDXL); ignored by SD/Pix2Pix
         num_inference_steps: int = 5,
     ):
         n = qpos.shape[0]
-        target = self.pipe.generate(
-            diffusion_params, tiled_u8, prompt_embeds, latents,
-            num_inference_steps=num_inference_steps,
-        )  # (N*fs, 2S, 2S, 3) uint8
+        if self._gen is not None:
+            target = self._gen(
+                diffusion_params, tiled_u8, prompt_embeds, latents, key,
+                num_inference_steps=num_inference_steps,
+            )
+        else:
+            target = self.pipe.generate(
+                diffusion_params, tiled_u8, prompt_embeds, latents,
+                num_inference_steps=num_inference_steps,
+            )  # (N*fs, 2S, 2S, 3) uint8
         cams = untile_to_cameras(
             target.astype(jnp.float32), target_size=self.obs_size
         )  # (N*fs, V, S, S, 3)
@@ -120,14 +131,19 @@ class BatchedGenimaStep:
         )
         return actions, target
 
-    def __call__(self, *args, num_inference_steps: int = 5):
+    def __call__(self, *args, key=None, num_inference_steps: int = 5):
         if self.mesh is not None:
             params = self._placed(*args[:3])
+            asarr = lambda t: jax.tree_util.tree_map(jnp.asarray, t)  # noqa: E731
             batch = tuple(
-                jax.device_put(jnp.asarray(a), self._dat) for a in args[3:]
+                jax.device_put(asarr(a), self._dat) for a in args[3:8]
             )
-            return self._fn(*params, *batch, num_inference_steps)
-        return self._fn(*args, num_inference_steps=num_inference_steps)
+            if key is not None:
+                key = jax.device_put(key, self._rep)
+            return self._fn(*params, *batch, key, num_inference_steps)
+        return self._fn(
+            *args, key=key, num_inference_steps=num_inference_steps
+        )
 
 
 class ParallelGenimaEvalWorkspace(GenimaEvalWorkspace):
@@ -186,11 +202,13 @@ class ParallelGenimaEvalWorkspace(GenimaEvalWorkspace):
     def _assemble_batch(self, slots, fs: int):
         tiled = np.concatenate([self._tile_obs(s["obs"], fs) for s in slots])
         dag = self.diffusion_agent
-        embeds = jnp.concatenate(
-            [
+        # tree-aware: SDXL's _embed_prompts returns (hidden, pooled)
+        embeds = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs),
+            *[
                 dag._embed_prompts(self._prompts(s["goal"], fs)[0])
                 for s in slots
-            ]
+            ],
         )
         latents = jnp.concatenate([self._slot_latents(s, fs) for s in slots])
         qpos = np.concatenate(
@@ -210,9 +228,9 @@ class ParallelGenimaEvalWorkspace(GenimaEvalWorkspace):
         steps = self.eval_cfg.get("num_diffusion_steps", 5)
 
         def gen():
-            out = dag.pipe.generate(
+            out = dag.fused_generate(
                 dag.params, jnp.asarray(tiled), embeds, latents,
-                num_inference_steps=steps,
+                dag._next_key(), num_inference_steps=steps,
             )
             np.asarray(out)[0, 0, 0]  # force completion through the relay
         gen()  # compile
@@ -342,6 +360,11 @@ class ParallelGenimaEvalWorkspace(GenimaEvalWorkspace):
                             latents,
                             jnp.asarray(qpos),
                             jnp.asarray(lang),
+                            # one noise chain for the lockstep batch (an
+                            # SDXL episode's in-loop noise is deterministic
+                            # given the batch composition, not per-episode
+                            # as in the serial loop; latents stay per-slot)
+                            key=self.diffusion_agent._next_key(),
                             num_inference_steps=cfg.get(
                                 "num_diffusion_steps", 5
                             ),

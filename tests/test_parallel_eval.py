@@ -247,6 +247,80 @@ def test_parallel_eval_mesh_divisibility(trained_ctrl):
         )
 
 
+def test_fused_and_batched_sdxl():
+    """The family-independent fused hook: SDXL (tuple embeds + noise key)
+    through FusedGenimaStep equals the staged device path, and
+    BatchedGenimaStep at N=2 runs the same program batched."""
+    from genima_tpu.eval.agents import make_tiny_sdxl_agent
+    from genima_tpu.eval.fused import FusedGenimaStep
+
+    dag = make_tiny_sdxl_agent(resolution=64)
+    agent, params = _tiny_controller()
+    fused = FusedGenimaStep(dag, agent, obs_size=32)
+
+    fs = 1
+    rng = np.random.default_rng(5)
+    tiled = rng.integers(0, 255, (fs, 64, 64, 3), np.uint8)
+    embeds = dag._embed_prompts(["a prompt"] * fs)  # (hidden, pooled)
+    lat = dag.pipe.init_latents(jax.random.key(11), fs, 64, 64)
+    qpos = jnp.asarray(rng.normal(size=(1, 8)), jnp.float32)
+    lang = jnp.zeros((1, 77), jnp.int32)
+    key = jax.random.key(13)
+
+    acts_f, tgt_f = fused(
+        dag.params, params, agent._clip_params,
+        jnp.asarray(tiled), embeds, lat, qpos, lang,
+        key=key, num_inference_steps=2,
+    )
+    # staged: same generate then untile+act, different program boundaries
+    tgt_s = dag.fused_generate(
+        dag.params, jnp.asarray(tiled), embeds, lat, key,
+        num_inference_steps=2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(tgt_f).astype(np.int32),
+        np.asarray(tgt_s).astype(np.int32),
+        atol=1,
+    )
+    assert np.asarray(acts_f).shape[0] == 1
+
+    batched = BatchedGenimaStep(dag, agent, obs_size=32)
+    embeds2 = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs), embeds, embeds
+    )
+    acts_b, tgt_b = batched(
+        dag.params, params, agent._clip_params,
+        jnp.asarray(np.concatenate([tiled, tiled])),
+        embeds2,
+        jnp.concatenate([lat, lat]),
+        jnp.concatenate([qpos, qpos]),
+        jnp.concatenate([lang, lang]),
+        key=key, num_inference_steps=2,
+    )
+    assert np.asarray(acts_b).shape[0] == 2
+    assert np.asarray(tgt_b).shape == (2 * fs, 64, 64, 3)
+
+
+def test_parallel_eval_pix2pix(trained_ctrl):
+    """Lockstep eval end-to-end with the Pix2Pix agent (same fused-hook
+    signature, no ControlNet)."""
+    from genima_tpu.eval.agents import make_tiny_pix2pix_agent
+
+    factory, agent, work_dir = trained_ctrl
+    dag = make_tiny_pix2pix_agent(resolution=64)
+    envs = [
+        factory.make_eval_env(
+            frame_stack=1, action_sequence=10, stats_path=str(work_dir)
+        )
+        for _ in range(2)
+    ]
+    ws = ParallelGenimaEvalWorkspace(
+        _eval_cfg(work_dir, 2, 2), envs, agent, diffusion_agent=dag
+    )
+    logs = ws.eval()
+    assert logs["results"]["total_episodes"] == 2
+
+
 def test_parallel_eval_act_only(trained_ctrl):
     """ACT-only (diffusion_agent=None) batches raw RGB over N envs."""
     factory, agent, work_dir = trained_ctrl
