@@ -5,11 +5,16 @@ uint8 -> untile to 4x256^2 cams -> ImageNet norm -> full ACT forward ->
 20-action chunk. Round 2 measured 81.1 ms device; this script keeps the
 measurement reproducible and reflects serving-layout (bf16-stored) params.
 
+--batch=N times BatchedGenimaStep instead: the lockstep-parallel control
+step (eval/parallel.py) serving N environments per program; reports
+ms/step per environment.
+
 Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_fused_step.py
 """
 
 from __future__ import annotations
 
+import sys
 import time
 from types import SimpleNamespace
 
@@ -22,6 +27,12 @@ def main():
     from genima_tpu.control.policy import GenimaACTAgent
     from genima_tpu.diffusion.pipeline import SDControlNetPipeline
     from genima_tpu.eval.fused import FusedGenimaStep
+    from genima_tpu.eval.parallel import BatchedGenimaStep
+
+    n = 1
+    for a in sys.argv[1:]:
+        if a.startswith("--batch="):
+            n = int(a.split("=")[1])
 
     print(f"devices: {jax.devices()}", flush=True)
     pipe = SDControlNetPipeline()
@@ -46,13 +57,18 @@ def main():
         lambda s: jnp.zeros(s.shape, s.dtype), cshapes
     )
 
-    fused = FusedGenimaStep(SimpleNamespace(pipe=pipe), controller)
+    if n == 1:
+        fused = FusedGenimaStep(SimpleNamespace(pipe=pipe), controller)
+        step_impl = fused._step_impl
+    else:
+        batched = BatchedGenimaStep(SimpleNamespace(pipe=pipe), controller)
+        step_impl = batched._step_impl
 
-    tiled_u8 = jnp.zeros((1, 512, 512, 3), jnp.uint8)
-    embeds = jnp.zeros((1, 77, 1024), jnp.bfloat16)
-    lat0 = pipe.init_latents(jax.random.key(2), 1, 512, 512)
-    qpos = jnp.zeros((1, controller.act_cfg.state_dim))
-    lang = jnp.zeros((1, 77), jnp.int32)
+    tiled_u8 = jnp.zeros((n, 512, 512, 3), jnp.uint8)
+    embeds = jnp.zeros((n, 77, 1024), jnp.bfloat16)
+    lat0 = pipe.init_latents(jax.random.key(2), n, 512, 512)
+    qpos = jnp.zeros((n, controller.act_cfg.state_dim))
+    lang = jnp.zeros((n, 77), jnp.int32)
 
     def chain(dp, cp, clp, length):
         def body(carry, i):
@@ -64,7 +80,7 @@ def main():
                 )
                 + fb * 1e-9
             )
-            actions, _ = fused._step_impl(
+            actions, _ = step_impl(
                 dp, cp, clp, tiled_u8, embeds, lat, qpos, lang,
                 num_inference_steps=5,
             )
@@ -87,9 +103,14 @@ def main():
             )
             times.append(time.perf_counter() - t1)
         runs[length] = min(times)
-    ms = (runs[16] - runs[4]) / 12 * 1000
+    ms = (runs[16] - runs[4]) / 12 * 1000 / n
+    label = (
+        "FusedGenimaStep (obs->diffusion->untile->ACT)"
+        if n == 1
+        else f"BatchedGenimaStep x{n} (lockstep envs, per env)"
+    )
     print(
-        f"FusedGenimaStep (obs->diffusion->untile->ACT): {ms:6.1f} ms/step "
+        f"{label}: {ms:6.1f} ms/step "
         f"({1000/ms:5.2f} steps/s) | total {time.time()-t0:.0f}s",
         flush=True,
     )
