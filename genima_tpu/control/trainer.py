@@ -109,11 +109,17 @@ class ControllerWorkspace:
         cfg_dict = self.cfg.to_dict() if hasattr(self.cfg, "to_dict") else dict(
             self.cfg
         )
-        ckpt.save_epoch_checkpoint(
+        if not hasattr(self, "_ckpt_writer"):
+            self._ckpt_writer = ckpt.AsyncCheckpointer()
+        # async: rotation + write overlap the next epoch's updates; the
+        # single writer thread keeps rotate->write->prune ordering
+        self._ckpt_writer.submit(
+            ckpt.save_epoch_checkpoint,
             self.work_dir,
             epoch=self._epoch,
             num_iters=self._num_iters,
-            agent_params=self.state.params,
+            # snapshot: update() donates the state; the copies stay valid
+            agent_params=ckpt.snapshot(self.state.params),
             config=cfg_dict,
             num_checkpoints=self.cfg.get("num_checkpoints", 3),
         )
@@ -166,3 +172,7 @@ class ControllerWorkspace:
                 )
             if self._epoch % checkpoint_every == 0 or self._epoch == num_epochs:
                 self.save_snapshot()
+        # flush the async writer: checkpoints must be on disk (and pruned)
+        # before eval/resume reads the directory
+        if hasattr(self, "_ckpt_writer"):
+            self._ckpt_writer.wait()

@@ -60,6 +60,53 @@ def load_pytree(path: str | Path, target: Any | None = None) -> Any:
     return serialization.msgpack_restore(data)
 
 
+class AsyncCheckpointer:
+    """Orbax-style async checkpointing: the device->host transfer,
+    serialization, and atomic rename run on ONE background thread,
+    overlapping the next training steps (the reference's Accelerate
+    ``save_state`` blocks the step loop for the full write).
+
+    At most one save is in flight: a new ``submit`` first waits for the
+    previous write (bounding host memory to one extra params copy) and
+    re-raises its errors loudly. Trees whose buffers are DONATED to the
+    next jitted step (train states with ``donate_argnums``) must be
+    passed through ``snapshot()`` first — the on-device copy is ordered
+    before the donating execution and is never itself donated. All
+    checkpoint-dir filesystem ops (including retention pruning inside the
+    save functions) go through the same single worker, so on-disk ordering
+    matches submission order. Call ``wait()`` before reading checkpoints
+    and at train end.
+    """
+
+    def __init__(self) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._executor = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="ckpt-writer"
+        )
+        self._pending = None
+
+    def submit(self, fn, /, *args, **kwargs) -> None:
+        self.wait()
+        self._pending = self._executor.submit(fn, *args, **kwargs)
+
+    def wait(self) -> None:
+        if self._pending is not None:
+            try:
+                self._pending.result()
+            finally:
+                self._pending = None
+
+
+def snapshot(tree: Any) -> Any:
+    """On-device copy of a pytree, safe to hand to ``AsyncCheckpointer``
+    when the original buffers will be donated to the next train step (the
+    copy reads the buffer before the donating execution consumes it)."""
+    return jax.tree_util.tree_map(
+        lambda x: x.copy() if hasattr(x, "copy") else x, tree
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract 1: step checkpoints (diffusion trainers)
 # ---------------------------------------------------------------------------

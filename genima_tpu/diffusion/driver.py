@@ -341,6 +341,7 @@ def run_training(args, variant: str = "sd", pipe=None) -> dict:
     t_start = time.time()
     done = False
     val_mse = None
+    ckpt_writer = ckpt.AsyncCheckpointer()
     # decode + host->device transfer overlap the device step (the torch
     # DataLoader-worker equivalent; round-2 VERDICT weak #2)
     from genima_tpu.data.dataset import DevicePrefetcher
@@ -364,19 +365,33 @@ def run_training(args, variant: str = "sd", pipe=None) -> dict:
                     prefix="train",
                 )
             if global_step % args.checkpointing_steps == 0:
-                ckpt.save_step_checkpoint(
+                # async: the D2H transfer + msgpack write overlap the next
+                # train steps on the checkpoint-writer thread
+                # snapshot: the train step donates state buffers; the
+                # on-device copies stay valid for the background write
+                snap = ckpt.snapshot(
+                    {
+                        "params": state.params,
+                        "opt_state": state.opt_state,
+                        "ema": state.ema,
+                        "step": state.step,
+                    }
+                )
+                ckpt_writer.submit(
+                    ckpt.save_step_checkpoint,
                     args.output_dir,
                     global_step,
-                    model_params=state.params,
+                    model_params=snap["params"],
                     model_subdir=model_subdir,
-                    train_state={"opt_state": state.opt_state,
-                                 "step": state.step},
+                    train_state={"opt_state": snap["opt_state"],
+                                 "step": snap["step"]},
                     total_limit=args.checkpoints_total_limit,
                     extra=(
-                        {"ema": state.ema} if state.ema is not None else None
+                        {"ema": snap["ema"]} if snap["ema"] is not None
+                        else None
                     ),
                 )
-                print(f"Saved state to checkpoint-{global_step}")
+                print(f"Saving state to checkpoint-{global_step} (async)")
             if (
                 args.validation_steps
                 and global_step % args.validation_steps == 0
@@ -393,7 +408,9 @@ def run_training(args, variant: str = "sd", pipe=None) -> dict:
         if steps_per_epoch == 0:
             break
 
-    # final save at the output root (reference :1483-1486)
+    # final save at the output root (reference :1483-1486); flush the
+    # async writer first so checkpoint-<step> dirs are complete on return
+    ckpt_writer.wait()
     final_params = state.ema if state.ema is not None else state.params
     ckpt.save_final_model(args.output_dir, final_params, model_subdir)
     logger.close()

@@ -121,6 +121,44 @@ def test_epoch_checkpoint_rotation_and_selection(tmp_path):
     assert payload["config"]["lr"] == 1e-4
 
 
+def test_async_checkpointer(tmp_path):
+    """Background writer: same on-disk result as sync saves (incl. epoch
+    rotation + retention ordering), one save in flight, errors re-raised."""
+    writer = ckpt_mod.AsyncCheckpointer()
+    params = {"w": np.zeros((1,), np.float32)}
+    for epoch in [10, 20, 30, 40]:
+        writer.submit(
+            ckpt_mod.save_epoch_checkpoint,
+            tmp_path,
+            epoch=epoch,
+            num_iters=epoch * 5,
+            agent_params={"w": params["w"] + epoch},
+            config={"lr": 1e-4},
+            num_checkpoints=3,
+        )
+    writer.wait()
+    rotated = [p.name for _, p in ckpt_mod.list_epoch_checkpoints(tmp_path)]
+    assert rotated == ["10.ckpt", "20.ckpt", "30.ckpt"]
+    payload = ckpt_mod.load_epoch_checkpoint(tmp_path / "latest.ckpt")
+    assert payload["epoch"] == 40
+    np.testing.assert_array_equal(payload["agent"]["w"], [40.0])
+    # wait() is idempotent; errors surface on the next wait/submit
+    writer.wait()
+
+    def boom():
+        raise RuntimeError("disk full")
+
+    writer.submit(boom)
+    with pytest.raises(RuntimeError, match="disk full"):
+        writer.wait()
+    # a failed write does not poison the writer
+    writer.submit(
+        ckpt_mod.save_step_checkpoint, tmp_path, 7, model_params=params
+    )
+    writer.wait()
+    assert (tmp_path / "checkpoint-7" / "controlnet" / "params.msgpack").exists()
+
+
 def test_metric_logger(tmp_path):
     from genima_tpu.core.logging import MetricLogger
 
