@@ -134,6 +134,9 @@ class ControllerWorkspace:
         num_epochs = self.cfg.get("num_train_epochs", 1000)
         checkpoint_every = self.cfg.get("checkpoint_every", 10)
         key = jax.random.key(self.cfg.get("seed", 0) + 7)
+        from genima_tpu.core.preemption import PreemptionGuard
+
+        preemption = PreemptionGuard.install()
 
         while self._epoch < num_epochs:
             epoch_metrics = []
@@ -172,7 +175,21 @@ class ControllerWorkspace:
                 )
             if self._epoch % checkpoint_every == 0 or self._epoch == num_epochs:
                 self.save_snapshot()
+            if preemption.requested:
+                # preempted (SIGTERM): snapshot through the normal rotation
+                # path and exit clean; restart auto-resumes from latest.ckpt
+                if (
+                    self._epoch % checkpoint_every != 0
+                    and self._epoch != num_epochs
+                ):
+                    self.save_snapshot()
+                print(
+                    f"Preemption requested: saved latest.ckpt at epoch "
+                    f"{self._epoch}, exiting (restart auto-resumes)"
+                )
+                break
         # flush the async writer: checkpoints must be on disk (and pruned)
         # before eval/resume reads the directory
         if hasattr(self, "_ckpt_writer"):
             self._ckpt_writer.wait()
+        preemption.uninstall()

@@ -342,6 +342,9 @@ def run_training(args, variant: str = "sd", pipe=None) -> dict:
     done = False
     val_mse = None
     ckpt_writer = ckpt.AsyncCheckpointer()
+    from genima_tpu.core.preemption import PreemptionGuard
+
+    preemption = PreemptionGuard.install()
     # decode + host->device transfer overlap the device step (the torch
     # DataLoader-worker equivalent; round-2 VERDICT weak #2)
     from genima_tpu.data.dataset import DevicePrefetcher
@@ -402,6 +405,28 @@ def run_training(args, variant: str = "sd", pipe=None) -> dict:
                     pipe, full_params, loader, args, logger, global_step,
                     variant,
                 )
+            if preemption.requested:
+                # preempted (SIGTERM): one checkpoint through the normal
+                # retention path, then exit clean — restart resumes latest
+                ckpt_writer.wait()
+                ckpt.save_step_checkpoint(
+                    args.output_dir,
+                    global_step,
+                    model_params=state.params,
+                    model_subdir=model_subdir,
+                    train_state={"opt_state": state.opt_state,
+                                 "step": state.step},
+                    total_limit=args.checkpoints_total_limit,
+                    extra=(
+                        {"ema": state.ema} if state.ema is not None else None
+                    ),
+                )
+                print(
+                    f"Preemption requested: saved checkpoint-{global_step}, "
+                    "exiting (resume with --resume_from_checkpoint latest)"
+                )
+                done = True
+                break
             if global_step >= max_steps:
                 done = True
                 break
@@ -411,6 +436,7 @@ def run_training(args, variant: str = "sd", pipe=None) -> dict:
     # final save at the output root (reference :1483-1486); flush the
     # async writer first so checkpoint-<step> dirs are complete on return
     ckpt_writer.wait()
+    preemption.uninstall()
     final_params = state.ema if state.ema is not None else state.params
     ckpt.save_final_model(args.output_dir, final_params, model_subdir)
     logger.close()

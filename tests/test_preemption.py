@@ -1,0 +1,152 @@
+"""Preemption-safe training (core/preemption.py): SIGTERM sets the guard
+flag, training exits through the normal checkpoint path, and a restart
+resumes — the TPU maintenance/spot-reclaim story the reference lacks."""
+
+import os
+import signal
+
+import pytest
+
+from genima_tpu.control.policy import GenimaACTAgent
+from genima_tpu.control.trainer import ControllerWorkspace
+from genima_tpu.core.config import Config
+from genima_tpu.core.preemption import PreemptionGuard
+from genima_tpu.envs import FakeRLBenchFactory
+from genima_tpu.nn.act import ACTConfig
+from genima_tpu.nn.clip_text import CLIPTextConfig
+
+pytestmark = pytest.mark.fast
+
+
+def test_guard_real_signal():
+    """A real SIGTERM sets the flag; the previous handler is chained and
+    restored by uninstall()."""
+    seen = []
+    prev = signal.signal(signal.SIGTERM, lambda s, f: seen.append(s))
+    try:
+        guard = PreemptionGuard.install()
+        assert not guard.requested
+        os.kill(os.getpid(), signal.SIGTERM)
+        assert guard.requested
+        assert seen == [signal.SIGTERM]  # chained
+        guard.uninstall()
+        os.kill(os.getpid(), signal.SIGTERM)
+        assert seen == [signal.SIGTERM, signal.SIGTERM]  # restored
+    finally:
+        signal.signal(signal.SIGTERM, prev)
+
+
+def _tiny_agent():
+    return GenimaACTAgent(
+        act_cfg=ACTConfig.tiny(num_queries=10, kl_weight=1.0),
+        clip_cfg=CLIPTextConfig.tiny(projection_dim=16),
+        image_size=32,
+        resnet_width=8,
+        num_views=4,
+        lr=3e-4,
+        lr_backbone=3e-4,
+        data_augmentation=False,
+    )
+
+
+def test_controller_preempt_and_resume(tmp_path):
+    """SIGTERM mid-training: an off-schedule latest.ckpt lands and a fresh
+    workspace resumes from the preempted epoch, not epoch 0."""
+    factory = FakeRLBenchFactory(
+        image_size=32, demo_length=12, episode_length=40
+    )
+    cfg = Config.from_dict(
+        {
+            "num_train_epochs": 50,  # would run long without preemption
+            "checkpoint_every": 50,  # so the preempt save is off-schedule
+            "num_checkpoints": 3,
+            "batch_size": 8,
+            "action_sequence": 10,
+            "frame_stack": 1,
+            "seed": 0,
+        }
+    )
+    ws = ControllerWorkspace(
+        cfg, _tiny_agent(), factory, tmp_path, num_demos=2, logger=None
+    )
+
+    # deliver a real SIGTERM during the second update; the guard installed
+    # inside train() sees it at the next epoch boundary
+    updates = {"n": 0}
+    orig_update = ws.agent.update
+
+    def counting_update(state, batch, key, mesh=None):
+        updates["n"] += 1
+        if updates["n"] == 2:
+            os.kill(os.getpid(), signal.SIGTERM)
+        return orig_update(state, batch, key, mesh=mesh)
+
+    ws.agent.update = counting_update
+    ws.train()
+    ws.agent.update = orig_update
+
+    assert ws._epoch < 50  # exited early
+    assert (tmp_path / "latest.ckpt").exists()
+    preempt_epoch = ws._epoch
+
+    ws2 = ControllerWorkspace(
+        cfg, _tiny_agent(), factory, tmp_path, num_demos=2, logger=None
+    )
+    assert ws2.resumed
+    assert ws2._epoch == preempt_epoch
+
+
+def test_diffusion_driver_preempt(tmp_path, monkeypatch):
+    """SIGTERM mid-fine-tune: the driver saves checkpoint-<step> through
+    the retention path and exits; resume latest restarts from there."""
+    import jax.numpy as jnp
+
+    from genima_tpu.cli.train_controlnet_genima import parse_args
+    from genima_tpu.diffusion import training as training_mod
+    from genima_tpu.diffusion.driver import run_training
+    from genima_tpu.diffusion.pipeline import SDControlNetPipeline
+    from genima_tpu.nn.clip_text import CLIPTextConfig
+    from genima_tpu.nn.unet import UNetConfig
+    from genima_tpu.nn.vae import VAEConfig
+    from tests.test_cli import _make_rendered_dataset
+
+    pipe = SDControlNetPipeline(
+        unet_cfg=UNetConfig.tiny(),
+        vae_cfg=VAEConfig.tiny_test(),
+        text_cfg=CLIPTextConfig.tiny(),
+        dtype=jnp.float32,
+    )
+    data = _make_rendered_dataset(tmp_path / "data")
+    out = tmp_path / "out"
+    calls = {"n": 0}
+    orig = training_mod.ControlNetTrainer.train_step
+
+    def signaling_step(self, state, batch, key):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            os.kill(os.getpid(), signal.SIGTERM)
+        return orig(self, state, batch, key)
+
+    monkeypatch.setattr(
+        training_mod.ControlNetTrainer, "train_step", signaling_step
+    )
+    args = parse_args(
+        [
+            "--data_path", str(data),
+            "--tasks", "toy",
+            "--output_dir", str(out),
+            "--resolution", "16",
+            "--train_batch_size", "2",
+            "--max_train_steps", "50",
+            "--checkpointing_steps", "40",
+            "--seed", "0",
+            "--mixed_precision", "no",
+        ]
+    )
+    result = run_training(args, variant="sd", pipe=pipe)
+    assert result["global_step"] < 50  # exited early
+    from genima_tpu.core import checkpoint as ckpt_mod
+
+    ckpts = ckpt_mod.list_step_checkpoints(out)
+    assert ckpts, "preemption save missing"
+    assert ckpts[-1][0] == result["global_step"]  # off-schedule save
