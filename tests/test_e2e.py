@@ -129,6 +129,37 @@ def test_eval_genima_closed_loop_with_diffusion(trained_workspace):
     assert len(vids) == 1
 
 
+def test_eval_genima_closed_loop_sdxl(trained_workspace):
+    """The serial harness's fused gate admits SDXL (tuple embeds + noise
+    key through the family-independent fused hook); the closed loop runs
+    end-to-end with the tiny SDXL agent."""
+    from genima_tpu.eval.agents import make_tiny_sdxl_agent
+
+    ws, factory, agent, work_dir, cfg = trained_workspace
+    diffusion_agent = make_tiny_sdxl_agent(resolution=64)
+    eval_env = factory.make_eval_env(
+        frame_stack=1, action_sequence=10, stats_path=str(work_dir)
+    )
+    eval_cfg = Config.from_dict(
+        {
+            "task": "fake_reach",
+            "controller_ckpt": str(work_dir),
+            "eval_type": "last",
+            "num_eval_episodes": 1,
+            "execution_horizon": 10,
+            "episode_length": 30,
+            "num_diffusion_steps": 2,
+            "guidance_scale": 0.0,
+            "save_video": False,
+        }
+    )
+    harness = GenimaEvalWorkspace(eval_cfg, eval_env, agent, diffusion_agent)
+    logs = harness.eval()
+    assert logs["results"]["total_episodes"] == 1
+    # the fused path (not the staged fallback) actually ran
+    assert harness._fused_step is not None
+
+
 def test_diffusion_agent_episode_seeding():
     """Same episode seed -> identical generations (reference fixed
     per-episode generator)."""
