@@ -29,7 +29,10 @@ try:  # pragma: no cover - requires CoppeliaSim install
     from gymnasium import spaces
     from rlbench import Environment
     from rlbench.action_modes.action_mode import MoveArmThenGripper
-    from rlbench.action_modes.arm_action_modes import JointPosition
+    from rlbench.action_modes.arm_action_modes import (
+        EndEffectorPoseViaPlanning,
+        JointPosition,
+    )
     from rlbench.action_modes.gripper_action_modes import Discrete
     from rlbench.observation_config import ObservationConfig
     from rlbench.utils import name_to_task_class
@@ -39,6 +42,7 @@ except ImportError:  # pragma: no cover
     RLBENCH_AVAILABLE = False
 
 from genima_tpu.envs.demo import (
+    ActionModeType,
     DemoStep,
     compute_action_stats,
     compute_proprio_stats,
@@ -51,6 +55,11 @@ FRANKA_LOW = np.array(
 FRANKA_HIGH = np.array(
     [2.8973, 1.7628, 2.8973, -0.0698, 2.8973, 3.7525, 2.8973], np.float32
 )
+
+# end-effector workspace bounds: x, y, z, quat(4), gripper — limited by the
+# RLBench scene workspace (reference rlbench_utils.py:186-201)
+EE_LOW = np.array([-0.3, -0.5, 0.6] + 3 * [-1.0] + 2 * [0.0], np.float32)
+EE_HIGH = np.array([0.7, 0.5, 1.6] + 4 * [1.0] + [1.0], np.float32)
 
 
 def _require_rlbench():
@@ -84,6 +93,7 @@ if RLBENCH_AVAILABLE:  # pragma: no cover - exercised only with a simulator
             dataset_root: str = "",
             headless: bool = True,
             colosseum_task_config: str | None = None,
+            action_mode: str = "JOINT_POSITION",
         ):
             self.task_name = task_name
             self.cameras = list(cameras)
@@ -91,6 +101,7 @@ if RLBENCH_AVAILABLE:  # pragma: no cover - exercised only with a simulator
             self.dataset_root = dataset_root
             self.headless = headless
             self.colosseum_task_config = colosseum_task_config
+            self.action_mode_type = ActionModeType(action_mode)
             self._env = None
             self._task = None
             self._descriptions = [task_name.replace("_", " ")]
@@ -107,21 +118,49 @@ if RLBENCH_AVAILABLE:  # pragma: no cover - exercised only with a simulator
             )
             obs_spaces["lang_tokens"] = spaces.Box(0, 50000, (1, 77), np.int32)
             self.observation_space = spaces.Dict(obs_spaces)
-            self.action_space = spaces.Box(
-                np.concatenate([FRANKA_LOW, [0.0]]),
-                np.concatenate([FRANKA_HIGH, [1.0]]),
-                dtype=np.float32,
-            )
+            if self.action_mode_type is ActionModeType.END_EFFECTOR_POSE:
+                # x, y, z, quat, gripper (reference rlbench_utils.py:186-201)
+                self.action_space = spaces.Box(EE_LOW, EE_HIGH, dtype=np.float32)
+            else:
+                self.action_space = spaces.Box(
+                    np.concatenate([FRANKA_LOW, [0.0]]),
+                    np.concatenate([FRANKA_HIGH, [1.0]]),
+                    dtype=np.float32,
+                )
 
         # -- sim lifecycle (lazy launch, rlbench.py:150-177) ---------------
 
         def _launch(self):
             if self._env is not None:
                 return
-            action_mode = MoveArmThenGripper(
-                arm_action_mode=JointPosition(True),  # ABSOLUTE positions
-                gripper_action_mode=Discrete(),
-            )
+            if self.action_mode_type is ActionModeType.END_EFFECTOR_POSE:
+                # EE pose via sampling-based planning, workspace-bounded
+                # (reference rlbench_utils.py:186-201); demo INGESTION for
+                # this mode is unimplemented here exactly as in the
+                # reference (rlbench.py:327-330 raises NotImplementedError)
+                low, high = EE_LOW, EE_HIGH
+
+                class _BoundedMoveArmThenGripper(MoveArmThenGripper):
+                    def action_bounds(self):
+                        return low, high
+
+                action_mode = _BoundedMoveArmThenGripper(
+                    arm_action_mode=EndEffectorPoseViaPlanning(),
+                    gripper_action_mode=Discrete(),
+                )
+            else:
+                flow = np.concatenate([FRANKA_LOW, [0.0]])
+                fhigh = np.concatenate([FRANKA_HIGH, [1.0]])
+
+                class _BoundedMoveArmThenGripper(MoveArmThenGripper):
+                    def action_bounds(self):
+                        return flow, fhigh
+
+                action_mode = _BoundedMoveArmThenGripper(
+                    arm_action_mode=JointPosition(True),  # ABSOLUTE positions
+                    gripper_action_mode=Discrete(),
+                )
+            self._env_action_mode = action_mode
             obs_config = _make_obs_config(self.cameras, self.image_size)
             if self.colosseum_task_config:
                 from colosseum.rlbench.extensions.environment import (
@@ -207,6 +246,14 @@ if RLBENCH_AVAILABLE:  # pragma: no cover - exercised only with a simulator
             (the reference stamps the task's reset description at conversion,
             ``rlbench_utils.py:16-27``, so each episode carries its own text
             for per-episode language conditioning)."""
+            if self.action_mode_type is ActionModeType.END_EFFECTOR_POSE:
+                # demo-action rescaling for EE pose is unimplemented in the
+                # reference too (rlbench.py:327-330)
+                raise NotImplementedError(
+                    "demo ingestion for END_EFFECTOR_POSE is not "
+                    "implemented (reference rlbench.py:327-330 raises the "
+                    "same); train with JOINT_POSITION"
+                )
             self._launch()
             raw = self._task.get_demos(n, live_demos=False)
             demos = []
@@ -448,4 +495,5 @@ def make_factory(env_cfg: dict):
             if env_cfg.get("colosseum_use")
             else None
         ),
+        action_mode=env_cfg.get("action_mode", "JOINT_POSITION"),
     )

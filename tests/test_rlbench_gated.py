@@ -94,6 +94,7 @@ def rlbench_mod(monkeypatch):
     am_mode.MoveArmThenGripper = MoveArmThenGripper
     am_arm = types.ModuleType("rlbench.action_modes.arm_action_modes")
     am_arm.JointPosition = lambda absolute: ("joint_position", absolute)
+    am_arm.EndEffectorPoseViaPlanning = lambda: "ee_pose_via_planning"
     am_grip = types.ModuleType("rlbench.action_modes.gripper_action_modes")
     am_grip.Discrete = lambda: "discrete"
 
@@ -159,6 +160,37 @@ def test_env_constructs_launches_and_steps(rlbench_mod):
     np.testing.assert_array_equal(pose, np.arange(7, dtype=np.float64))
     env.close()
     assert env._env is None
+
+
+def test_end_effector_pose_mode(rlbench_mod):
+    """EE-pose-via-planning with the reference's workspace bounds
+    (rlbench_utils.py:186-201); demo ingestion raises exactly as the
+    reference's rescale path does (rlbench.py:327-330)."""
+    env = rlbench_mod.GenimaRLBenchEnv(
+        task_name="open_box", image_size=8,
+        action_mode="END_EFFECTOR_POSE",
+    )
+    # x, y, z, quat, gripper bounds
+    np.testing.assert_allclose(
+        env.action_space.low, [-0.3, -0.5, 0.6, -1, -1, -1, 0, 0]
+    )
+    np.testing.assert_allclose(
+        env.action_space.high, [0.7, 0.5, 1.6, 1, 1, 1, 1, 1]
+    )
+    env.reset()  # launches with the EE action mode
+    assert env._env.launched
+    with pytest.raises(NotImplementedError, match="END_EFFECTOR_POSE"):
+        env.get_demos(1)
+
+
+def test_action_bounds_on_action_mode(rlbench_mod):
+    """Both modes expose action_bounds on the MoveArmThenGripper subclass
+    (the reference's CustomMoveArmThenGripper contract)."""
+    env = rlbench_mod.GenimaRLBenchEnv(task_name="open_box", image_size=8)
+    env._launch()
+    low, high = env._env_action_mode.action_bounds()
+    assert low.shape == (8,) and high.shape == (8,)
+    assert low[0] == pytest.approx(-2.8973)
 
 
 def test_reset_to_demo_and_get_demos(rlbench_mod):
