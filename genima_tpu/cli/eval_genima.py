@@ -164,7 +164,10 @@ def main(argv=None, with_diffusion: bool = True):
             n_chips = int(
                 eval_cfg.get("eval_mesh_devices", 0) or jax.device_count()
             )
-            mesh = make_mesh(n_data=n_chips)
+            # optional TP: diffusion weights sharded over an fsdp axis of
+            # this size, lockstep batch over the remaining data axis
+            n_tp = int(eval_cfg.get("eval_tensor_parallel", 0) or 1)
+            mesh = make_mesh(n_data=n_chips // n_tp, n_fsdp=n_tp)
         workspace = ParallelGenimaEvalWorkspace(
             eval_cfg,
             envs,

@@ -59,34 +59,53 @@ class BatchedGenimaStep:
         self.obs_size = obs_size
         self.mesh = mesh
         if mesh is not None:
-            from genima_tpu.core.mesh import data_sharding, replicated
+            from genima_tpu.core.mesh import (
+                FSDP_AXIS, data_sharding, replicated,
+            )
 
             self._rep = replicated(mesh)
             self._dat = data_sharding(mesh)
             self._param_key = None
             self._param_cache = None
-            # pjit with in_shardings forbids kwargs -> static by position
-            self._fn = jax.jit(
-                self._step_impl,
-                static_argnums=(9,),
-                in_shardings=(self._rep,) * 3
-                + (self._dat,) * 5
-                + (self._rep,),  # the noise key is replicated
-                out_shardings=(self._dat, self._dat),
-            )
+            self._tp = dict(mesh.shape).get(FSDP_AXIS, 1) > 1
+            if self._tp:
+                # 2-D (data x fsdp) mesh: diffusion weights output-feature-
+                # sharded over fsdp (core/tp.py), batch over data; jit
+                # infers shardings from the committed inputs and GSPMD
+                # places the collectives over ICI
+                self._fn = jax.jit(self._step_impl, static_argnums=(9,))
+            else:
+                # pjit with in_shardings forbids kwargs -> static position
+                self._fn = jax.jit(
+                    self._step_impl,
+                    static_argnums=(9,),
+                    in_shardings=(self._rep,) * 3
+                    + (self._dat,) * 5
+                    + (self._rep,),  # the noise key is replicated
+                    out_shardings=(self._dat, self._dat),
+                )
         else:
             self._fn = jax.jit(
                 self._step_impl, static_argnames=("num_inference_steps",)
             )
 
     def _placed(self, diffusion_params, controller_params, clip_params):
-        """Replicate the three param trees over the mesh ONCE per tree
-        identity (re-placing 1.4 GB every control step would dominate)."""
+        """Place the three param trees over the mesh ONCE per tree identity
+        (re-placing 1.4 GB every control step would dominate). Diffusion
+        weights TP-shard over the fsdp axis when the mesh has one; the
+        (small) controller/CLIP towers stay replicated."""
         key = (id(diffusion_params), id(controller_params), id(clip_params))
         if self._param_key != key:
-            self._param_cache = tuple(
-                jax.device_put(t, self._rep)
-                for t in (diffusion_params, controller_params, clip_params)
+            if self._tp:
+                from genima_tpu.core.tp import shard_params_tp
+
+                dp = shard_params_tp(diffusion_params, self.mesh)
+            else:
+                dp = jax.device_put(diffusion_params, self._rep)
+            self._param_cache = (
+                dp,
+                jax.device_put(controller_params, self._rep),
+                jax.device_put(clip_params, self._rep),
             )
             self._param_key = key
         return self._param_cache

@@ -228,6 +228,44 @@ def test_parallel_eval_with_mesh(trained_ctrl):
     assert logs["results"]["total_episodes"] == 2
 
 
+def test_batched_step_tp_mesh_matches_unsharded():
+    """2-D (data=2 x fsdp=2) serving mesh: diffusion weights TP-sharded,
+    batch DP-sharded — output matches the unsharded program."""
+    from genima_tpu.core.mesh import make_mesh
+
+    dag = _tiny_diffusion_agent()
+    agent, params = _tiny_controller()
+    plain = BatchedGenimaStep(dag, agent, obs_size=32)
+    mesh = make_mesh(n_data=2, n_fsdp=2)
+    sharded = BatchedGenimaStep(dag, agent, obs_size=32, mesh=mesh)
+    assert sharded._tp
+
+    fs = 1
+    rng = np.random.default_rng(9)
+    tiled = rng.integers(0, 255, (2 * fs, 64, 64, 3), np.uint8)
+    embeds = jnp.concatenate(
+        [dag._embed_prompts(["a"] * fs), dag._embed_prompts(["b"] * fs)]
+    )
+    lat = dag.pipe.init_latents(jax.random.key(17), 2 * fs, 64, 64)
+    qpos = jnp.asarray(rng.normal(size=(2, 8)), jnp.float32)
+    lang = jnp.zeros((2, 77), jnp.int32)
+    args = (dag.params, params, agent._clip_params,
+            jnp.asarray(tiled), embeds, lat, qpos, lang)
+
+    acts_p, tgt_p = plain(*args, num_inference_steps=2)
+    acts_s, tgt_s = sharded(*args, num_inference_steps=2)
+    # TP changes matmul reduction order -> small float drift; one uint8
+    # quantization step on images, loose atol on actions
+    np.testing.assert_allclose(
+        np.asarray(tgt_s).astype(np.int32),
+        np.asarray(tgt_p).astype(np.int32),
+        atol=1,
+    )
+    np.testing.assert_allclose(
+        np.asarray(acts_s), np.asarray(acts_p), atol=1e-3
+    )
+
+
 def test_parallel_eval_mesh_divisibility(trained_ctrl):
     """3 envs over a 2-device data mesh must be rejected loudly."""
     from genima_tpu.core.mesh import make_mesh
