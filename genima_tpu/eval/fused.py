@@ -22,8 +22,9 @@ from genima_tpu.data.tiling import untile_to_cameras
 class FusedGenimaStep:
     """generate + untile + act, jitted once.
 
-    Built from an SD diffusion agent (``eval.agents.SDControlNetAgent``) and
-    a controller agent (``control.policy.GenimaACTAgent``).
+    Built from any diffusion agent exposing ``fused_generate`` (SD, SDXL,
+    Pix2Pix — ``eval.agents``) and a controller agent
+    (``control.policy.GenimaACTAgent``).
     """
 
     def __init__(self, diffusion_agent, controller_agent, obs_size: int = 256):
