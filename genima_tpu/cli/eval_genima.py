@@ -147,6 +147,16 @@ def main(argv=None, with_diffusion: bool = True):
     if n_par > 1:
         # lockstep-batched eval: N envs, one batched TPU program per control
         # step (the reference's eval is fully serial — model-card.md:39)
+        if eval_cfg.get("env", {}).get("factory", "rlbench") != "fake":
+            # CoppeliaSim allows ONE simulator per process (the repo's own
+            # demo collection uses a child process for this reason);
+            # N in-process real sims would crash or corrupt each other
+            raise ValueError(
+                "num_parallel_envs > 1 requires env.factory=fake: the real "
+                "RLBench factory cannot host multiple simulators in one "
+                "process (subprocess-backed sims are future work — use the "
+                "serial harness on the real simulator)"
+            )
         from genima_tpu.eval.parallel import ParallelGenimaEvalWorkspace
 
         envs = [eval_env] + [
@@ -154,9 +164,11 @@ def main(argv=None, with_diffusion: bool = True):
             for _ in range(n_par - 1)
         ]
         mesh = None
-        if eval_cfg.get("eval_data_parallel", False):
-            # shard the lockstep batch across the chips (DP serving);
-            # num_parallel_envs must be a multiple of the mesh size
+        n_tp = int(eval_cfg.get("eval_tensor_parallel", 0) or 1)
+        if eval_cfg.get("eval_data_parallel", False) or n_tp > 1:
+            # shard the lockstep batch across the chips (DP serving),
+            # optionally with the diffusion weights TP-sharded over an
+            # fsdp axis of size eval_tensor_parallel
             import jax
 
             from genima_tpu.core.mesh import make_mesh
@@ -164,9 +176,11 @@ def main(argv=None, with_diffusion: bool = True):
             n_chips = int(
                 eval_cfg.get("eval_mesh_devices", 0) or jax.device_count()
             )
-            # optional TP: diffusion weights sharded over an fsdp axis of
-            # this size, lockstep batch over the remaining data axis
-            n_tp = int(eval_cfg.get("eval_tensor_parallel", 0) or 1)
+            if n_chips % n_tp:
+                raise ValueError(
+                    f"eval_tensor_parallel ({n_tp}) must divide the mesh "
+                    f"device count ({n_chips})"
+                )
             mesh = make_mesh(n_data=n_chips // n_tp, n_fsdp=n_tp)
         workspace = ParallelGenimaEvalWorkspace(
             eval_cfg,

@@ -137,7 +137,19 @@ class ControllerWorkspace:
         from genima_tpu.core.preemption import PreemptionGuard
 
         preemption = PreemptionGuard.install()
+        try:
+            self._train_loop(num_epochs, checkpoint_every, key, preemption)
+        finally:
+            # even when an exception escapes the loop: drop the signal
+            # handler first (a stale guard would eat the next run's
+            # SIGTERM; uninstall cannot fail), then flush the async writer
+            # (checkpoints must be on disk before callers read the dir —
+            # wait() may re-raise a failed write)
+            preemption.uninstall()
+            if hasattr(self, "_ckpt_writer"):
+                self._ckpt_writer.wait()
 
+    def _train_loop(self, num_epochs, checkpoint_every, key, preemption):
         while self._epoch < num_epochs:
             epoch_metrics = []
             for batch in self.replay:
@@ -188,8 +200,3 @@ class ControllerWorkspace:
                     f"{self._epoch}, exiting (restart auto-resumes)"
                 )
                 break
-        # flush the async writer: checkpoints must be on disk (and pruned)
-        # before eval/resume reads the directory
-        if hasattr(self, "_ckpt_writer"):
-            self._ckpt_writer.wait()
-        preemption.uninstall()

@@ -352,91 +352,98 @@ def run_training(args, variant: str = "sd", pipe=None) -> dict:
     prefetch = DevicePrefetcher(
         loader, put_fn=lambda b: shard_batch(b, mesh), depth=2
     )
-    while not done:
-        for sharded in prefetch:
-            key, sub = jax.random.split(key)
-            state, metrics = trainer.train_step(state, sharded, sub)
-            global_step += 1
-            if global_step % 50 == 0 or global_step == 1:
-                logger.log_metrics(
-                    {
-                        "loss": float(metrics["loss"]),
-                        "lr": float(metrics["lr"]),
-                        "steps_per_sec": global_step / (time.time() - t_start),
-                    },
-                    global_step,
-                    prefix="train",
-                )
-            if global_step % args.checkpointing_steps == 0:
-                # async: the D2H transfer + msgpack write overlap the next
-                # train steps on the checkpoint-writer thread
-                # snapshot: the train step donates state buffers; the
-                # on-device copies stay valid for the background write
-                snap = ckpt.snapshot(
-                    {
-                        "params": state.params,
-                        "opt_state": state.opt_state,
-                        "ema": state.ema,
-                        "step": state.step,
-                    }
-                )
-                ckpt_writer.submit(
-                    ckpt.save_step_checkpoint,
-                    args.output_dir,
-                    global_step,
-                    model_params=snap["params"],
-                    model_subdir=model_subdir,
-                    train_state={"opt_state": snap["opt_state"],
-                                 "step": snap["step"]},
-                    total_limit=args.checkpoints_total_limit,
-                    extra=(
-                        {"ema": snap["ema"]} if snap["ema"] is not None
-                        else None
-                    ),
-                )
-                print(f"Saving state to checkpoint-{global_step} (async)")
-            if (
-                args.validation_steps
-                and global_step % args.validation_steps == 0
-            ):
-                full_params = dict(trainer._frozen)
-                full_params[model_subdir] = state.params
-                val_mse = log_validation(
-                    pipe, full_params, loader, args, logger, global_step,
-                    variant,
-                )
-            if preemption.requested:
-                # preempted (SIGTERM): one checkpoint through the normal
-                # retention path, then exit clean — restart resumes latest
-                ckpt_writer.wait()
-                ckpt.save_step_checkpoint(
-                    args.output_dir,
-                    global_step,
-                    model_params=state.params,
-                    model_subdir=model_subdir,
-                    train_state={"opt_state": state.opt_state,
-                                 "step": state.step},
-                    total_limit=args.checkpoints_total_limit,
-                    extra=(
-                        {"ema": state.ema} if state.ema is not None else None
-                    ),
-                )
-                print(
-                    f"Preemption requested: saved checkpoint-{global_step}, "
-                    "exiting (resume with --resume_from_checkpoint latest)"
-                )
-                done = True
+    try:
+        while not done:
+            for sharded in prefetch:
+                key, sub = jax.random.split(key)
+                state, metrics = trainer.train_step(state, sharded, sub)
+                global_step += 1
+                if global_step % 50 == 0 or global_step == 1:
+                    logger.log_metrics(
+                        {
+                            "loss": float(metrics["loss"]),
+                            "lr": float(metrics["lr"]),
+                            "steps_per_sec": global_step / (time.time() - t_start),
+                        },
+                        global_step,
+                        prefix="train",
+                    )
+                if global_step % args.checkpointing_steps == 0:
+                    # async: the D2H transfer + msgpack write overlap the next
+                    # train steps on the checkpoint-writer thread
+                    # snapshot: the train step donates state buffers; the
+                    # on-device copies stay valid for the background write
+                    snap = ckpt.snapshot(
+                        {
+                            "params": state.params,
+                            "opt_state": state.opt_state,
+                            "ema": state.ema,
+                            "step": state.step,
+                        }
+                    )
+                    ckpt_writer.submit(
+                        ckpt.save_step_checkpoint,
+                        args.output_dir,
+                        global_step,
+                        model_params=snap["params"],
+                        model_subdir=model_subdir,
+                        train_state={"opt_state": snap["opt_state"],
+                                     "step": snap["step"]},
+                        total_limit=args.checkpoints_total_limit,
+                        extra=(
+                            {"ema": snap["ema"]} if snap["ema"] is not None
+                            else None
+                        ),
+                    )
+                    print(f"Saving state to checkpoint-{global_step} (async)")
+                if (
+                    args.validation_steps
+                    and global_step % args.validation_steps == 0
+                ):
+                    full_params = dict(trainer._frozen)
+                    full_params[model_subdir] = state.params
+                    val_mse = log_validation(
+                        pipe, full_params, loader, args, logger, global_step,
+                        variant,
+                    )
+                if preemption.requested:
+                    # preempted (SIGTERM): one checkpoint through the normal
+                    # retention path, then exit clean — restart resumes latest
+                    ckpt_writer.wait()
+                    ckpt.save_step_checkpoint(
+                        args.output_dir,
+                        global_step,
+                        model_params=state.params,
+                        model_subdir=model_subdir,
+                        train_state={"opt_state": state.opt_state,
+                                     "step": state.step},
+                        total_limit=args.checkpoints_total_limit,
+                        extra=(
+                            {"ema": state.ema} if state.ema is not None else None
+                        ),
+                    )
+                    print(
+                        f"Preemption requested: saved checkpoint-{global_step}, "
+                        "exiting (resume with --resume_from_checkpoint latest)"
+                    )
+                    done = True
+                    break
+                if global_step >= max_steps:
+                    done = True
+                    break
+            if steps_per_epoch == 0:
                 break
-            if global_step >= max_steps:
-                done = True
-                break
-        if steps_per_epoch == 0:
-            break
 
-    # final save at the output root (reference :1483-1486); flush the
-    # async writer first so checkpoint-<step> dirs are complete on return
-    ckpt_writer.wait()
-    preemption.uninstall()
+    finally:
+        # even when an exception escapes the loop: drop the signal
+        # handler first (a stale guard would eat the next run's
+        # SIGTERM), then flush the async writer (wait() may re-raise
+        # a failed write)
+        preemption.uninstall()
+        ckpt_writer.wait()
+
+    # final save at the output root (reference :1483-1486); the finally
+    # above already flushed checkpoint-<step> dirs and dropped the guard
     final_params = state.ema if state.ema is not None else state.params
     ckpt.save_final_model(args.output_dir, final_params, model_subdir)
     logger.close()

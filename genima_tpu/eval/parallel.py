@@ -14,10 +14,15 @@ untiles, runs ACT at batch N, and downloads all action chunks at once.
 Episode semantics are unchanged vs the serial harness: per-episode
 ``reset_to_demo`` restore, per-episode fixed diffusion seed, the same
 success accounting, JSON schema, and running printout. Environments are
-stepped host-side in a thread pool (real RLBench sims are separate
-processes; the fake CI envs are cheap either way). Episodes that finish
-early stay in the batch with their final observation (static shapes — the
-program compiles once) but are masked out of stepping and accounting.
+stepped host-side in a thread pool. Episodes that finish early stay in
+the batch with their final observation (static shapes — the program
+compiles once) but are masked out of stepping and accounting.
+
+Current limits, enforced loudly: classifier-free guidance
+(``guidance_scale > 1.0``) needs the serial harness, and the real
+RLBench factory cannot host N CoppeliaSim instances in one process, so
+lockstep eval targets the fake env (subprocess-backed sims are future
+work; ``cli/eval_genima.py`` refuses the combination).
 """
 
 from __future__ import annotations
@@ -93,9 +98,14 @@ class BatchedGenimaStep:
         """Place the three param trees over the mesh ONCE per tree identity
         (re-placing 1.4 GB every control step would dominate). Diffusion
         weights TP-shard over the fsdp axis when the mesh has one; the
-        (small) controller/CLIP towers stay replicated."""
-        key = (id(diffusion_params), id(controller_params), id(clip_params))
-        if self._param_key != key:
+        (small) controller/CLIP towers stay replicated. The cache key holds
+        STRONG references to the source trees — ``is`` on live objects, not
+        ``id()`` of possibly-freed ones, so a recycled address after a
+        checkpoint reload can never serve stale weights."""
+        key = (diffusion_params, controller_params, clip_params)
+        if self._param_key is None or any(
+            a is not b for a, b in zip(self._param_key, key)
+        ):
             if self._tp:
                 from genima_tpu.core.tp import shard_params_tp
 
@@ -187,6 +197,18 @@ class ParallelGenimaEvalWorkspace(GenimaEvalWorkspace):
             eval_cfg, eval_envs[0], controller_agent, diffusion_agent,
             cameras=cameras, logger=logger, tokenizer=tokenizer,
         )
+        if (
+            diffusion_agent is not None
+            and float(eval_cfg.get("guidance_scale", 0.0)) > 1.0
+        ):
+            # the batched program runs positive prompts only (the genima
+            # protocol is guidance 0.0, eval_genima.yaml:29-31); CFG would
+            # silently differ from the serial staged path — refuse loudly
+            raise ValueError(
+                "num_parallel_envs > 1 does not support classifier-free "
+                "guidance (guidance_scale > 1.0); use the serial harness "
+                "(num_parallel_envs=1) or guidance_scale <= 1.0"
+            )
         if mesh is not None:
             n_data = mesh.shape.get("data", mesh.devices.size)
             if len(eval_envs) % n_data:
@@ -242,14 +264,27 @@ class ParallelGenimaEvalWorkspace(GenimaEvalWorkspace):
     def _measure_batched_gen(self, tiled, embeds, latents) -> float:
         """One-off timing of the batched diffusion sub-program, used to
         attribute the fused program's time to gen/control phases (the
-        reference logs the phases separately)."""
+        reference logs the phases separately). Uses the mesh-placed params
+        when sharded (an unsharded probe would OOM exactly the models TP
+        exists for) and a fixed probe key so instrumenting the run never
+        perturbs the agents' episode RNG chains."""
         dag = self.diffusion_agent
         steps = self.eval_cfg.get("num_diffusion_steps", 5)
+        params = dag.params
+        if self.mesh is not None and self._batched_step is not None:
+            params = self._batched_step._placed(
+                dag.params, self.controller_params,
+                self.controller_agent._clip_params,
+            )[0]
+            tiled = jax.device_put(
+                jnp.asarray(tiled), self._batched_step._dat
+            )
+        probe_key = jax.random.key(0)
 
         def gen():
             out = dag.fused_generate(
-                dag.params, jnp.asarray(tiled), embeds, latents,
-                dag._next_key(), num_inference_steps=steps,
+                params, jnp.asarray(tiled), embeds, latents,
+                probe_key, num_inference_steps=steps,
             )
             np.asarray(out)[0, 0, 0]  # force completion through the relay
         gen()  # compile
@@ -315,8 +350,11 @@ class ParallelGenimaEvalWorkspace(GenimaEvalWorkspace):
             slot["reward"] = reward
             slot["done"] = term or trunc
         except Exception as e:  # sim failure -> terminate this episode
+            # serial accounting breaks BEFORE episode_step += len(actions)
+            # (harness.py) — don't count the failed chunk here either
             print(f"Error (env slot, episode {slot['ep']}): {e}")
             slot["done"] = True
+            return
         slot["steps"] += len(actions)
         if slot["steps"] > episode_length:
             slot["done"] = True
@@ -361,6 +399,7 @@ class ParallelGenimaEvalWorkspace(GenimaEvalWorkspace):
                     live = sum(
                         1 for s in slots if s["counted"] and not s["done"]
                     )
+                    slot0_live = not slots[0]["done"]
                     if self.diffusion_agent is not None:
                         tiled, embeds, latents, qpos, lang = (
                             self._assemble_batch(slots, fs)
@@ -370,15 +409,18 @@ class ParallelGenimaEvalWorkspace(GenimaEvalWorkspace):
                         ].shape[-1]
                         step = self._batched(obs_size)
                         t0 = time.time()
+                        # host arrays go in raw: __call__ places them once
+                        # with the right sharding (jnp.asarray here would
+                        # upload to the default device and re-place)
                         actions, _gen = step(
                             self.diffusion_agent.params,
                             self.controller_params,
                             self.controller_agent._clip_params,
-                            jnp.asarray(tiled),
+                            tiled,
                             embeds,
                             latents,
-                            jnp.asarray(qpos),
-                            jnp.asarray(lang),
+                            qpos,
+                            lang,
                             # one noise chain for the lockstep batch (an
                             # SDXL episode's in-loop noise is deterministic
                             # given the batch composition, not per-episode
@@ -418,7 +460,12 @@ class ParallelGenimaEvalWorkspace(GenimaEvalWorkspace):
                     ]
                     for f in futures:
                         f.result()
-                    self.video.record(slots[0]["env"])
+                    if slot0_live:
+                        # record while slot 0's episode is live, including
+                        # its terminating step (the serial recorder stops
+                        # at episode end rather than freezing on the final
+                        # frame until every lockstep slot finishes)
+                        self.video.record(slots[0]["env"])
 
                 for s in (s for s in slots if s["counted"]):
                     episode_success = float(np.clip(s["reward"], 0.0, 1.0))

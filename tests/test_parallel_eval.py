@@ -206,6 +206,11 @@ def test_batched_step_mesh_matches_unsharded():
     cached = sharded._param_cache
     sharded(*args, num_inference_steps=2)
     assert sharded._param_cache is cached
+    # a NEW tree (checkpoint reload) re-places — identity, not id() reuse
+    new_dp = {k: v for k, v in dag.params.items()}
+    sharded(new_dp, *args[1:], num_inference_steps=2)
+    assert sharded._param_cache is not cached
+    assert sharded._param_key[0] is new_dp
 
 
 def test_parallel_eval_with_mesh(trained_ctrl):
@@ -357,6 +362,23 @@ def test_parallel_eval_pix2pix(trained_ctrl):
     )
     logs = ws.eval()
     assert logs["results"]["total_episodes"] == 2
+
+
+def test_parallel_eval_refuses_cfg(trained_ctrl):
+    """guidance_scale > 1.0 (classifier-free guidance) must be rejected:
+    the batched program runs positive prompts only."""
+    factory, agent, work_dir = trained_ctrl
+    dag = _tiny_diffusion_agent()
+    envs = [
+        factory.make_eval_env(
+            frame_stack=1, action_sequence=10, stats_path=str(work_dir)
+        )
+        for _ in range(2)
+    ]
+    cfg = _eval_cfg(work_dir, 2, 2)
+    cfg["guidance_scale"] = 7.5
+    with pytest.raises(ValueError, match="guidance"):
+        ParallelGenimaEvalWorkspace(cfg, envs, agent, diffusion_agent=dag)
 
 
 def test_parallel_eval_act_only(trained_ctrl):
