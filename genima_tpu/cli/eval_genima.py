@@ -147,22 +147,28 @@ def main(argv=None, with_diffusion: bool = True):
     if n_par > 1:
         # lockstep-batched eval: N envs, one batched TPU program per control
         # step (the reference's eval is fully serial — model-card.md:39)
-        if eval_cfg.get("env", {}).get("factory", "rlbench") != "fake":
-            # CoppeliaSim allows ONE simulator per process (the repo's own
-            # demo collection uses a child process for this reason);
-            # N in-process real sims would crash or corrupt each other
-            raise ValueError(
-                "num_parallel_envs > 1 requires env.factory=fake: the real "
-                "RLBench factory cannot host multiple simulators in one "
-                "process (subprocess-backed sims are future work — use the "
-                "serial harness on the real simulator)"
-            )
         from genima_tpu.eval.parallel import ParallelGenimaEvalWorkspace
 
-        envs = [eval_env] + [
-            build_eval_env(eval_cfg, train_cfg, eval_cfg.controller_ckpt)
-            for _ in range(n_par - 1)
-        ]
+        if eval_cfg.get("env", {}).get("factory", "rlbench") != "fake":
+            # CoppeliaSim allows ONE simulator per process (the repo's own
+            # demo collection uses a child process for this reason), so
+            # each real env lives in its own spawned child
+            from genima_tpu.envs.subprocess_env import SubprocessEnv
+
+            envs = [
+                SubprocessEnv(
+                    build_eval_env,
+                    eval_cfg=eval_cfg,
+                    train_cfg=train_cfg,
+                    stats_path=str(eval_cfg.controller_ckpt),
+                )
+                for _ in range(n_par)
+            ]
+        else:
+            envs = [eval_env] + [
+                build_eval_env(eval_cfg, train_cfg, eval_cfg.controller_ckpt)
+                for _ in range(n_par - 1)
+            ]
         mesh = None
         n_tp = int(eval_cfg.get("eval_tensor_parallel", 0) or 1)
         if eval_cfg.get("eval_data_parallel", False) or n_tp > 1:

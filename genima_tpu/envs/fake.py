@@ -289,3 +289,28 @@ def make_vector_train_env(factory, num_envs: int = 2, **wrap_kwargs):
         return factory.make_eval_env(**wrap_kwargs)
 
     return gym.vector.AsyncVectorEnv([_make for _ in range(num_envs)])
+
+
+def build_fake_eval_env(
+    image_size: int = 32,
+    demo_length: int = 12,
+    episode_length: int = 40,
+    stats_path: str | None = None,
+    frame_stack: int = 1,
+    action_sequence: int = 10,
+    task_name: str = "fake_reach",
+):
+    """Module-level (picklable) eval-env ctor: the fake-factory analogue of
+    ``cli.eval_genima.build_eval_env`` for ``SubprocessEnv`` children and
+    CI of the subprocess-isolated lockstep path."""
+    factory = FakeRLBenchFactory(
+        task_name=task_name,
+        image_size=image_size,
+        demo_length=demo_length,
+        episode_length=episode_length,
+    )
+    return factory.make_eval_env(
+        frame_stack=frame_stack,
+        action_sequence=action_sequence,
+        stats_path=stats_path,
+    )

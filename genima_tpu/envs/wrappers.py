@@ -256,3 +256,37 @@ def wrap_env(
     env = ActionSequence(env, action_sequence)
     env = AppendDemoInfo(env)
     return env
+
+
+def rewrap_obs(env, raw_obs, wrapped_obs):
+    """Re-apply the full observation wrapper chain to an unwrapped obs.
+
+    ``reset_to_demo`` returns an unwrapped obs; apply EVERY observation
+    transformation in ``env``'s chain (NormProprio, OnehotTime, ...) in
+    innermost-first order and refill FrameStack's buffer so subsequent
+    steps don't mix pre-demo frames into the stack (the eval harness's
+    demo-restore contract; also used inside SubprocessEnv children, where
+    the wrapper chain lives)."""
+    if raw_obs is None:
+        return wrapped_obs
+    chain = []
+    e = env
+    while hasattr(e, "env"):
+        chain.append(e)
+        e = e.env
+    obs = dict(raw_obs)
+    stacked = None
+    for w in reversed(chain):  # innermost wrapper first
+        if isinstance(w, gym.ObservationWrapper):
+            obs = w.observation(obs)
+        elif isinstance(w, FrameStack):
+            w._frames = {
+                k: deque([v] * w._k, maxlen=w._k) for k, v in obs.items()
+            }
+            stacked = w._stacked()
+            obs = stacked
+    if stacked is None:  # no FrameStack in the chain: stack manually
+        rgb = next(k for k in wrapped_obs if k.endswith("_rgb"))
+        fs = wrapped_obs[rgb].shape[0]
+        return {k: np.stack([v] * fs) for k, v in obs.items()}
+    return obs

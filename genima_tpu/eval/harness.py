@@ -429,37 +429,13 @@ class GenimaEvalWorkspace:
     # -- helpers -------------------------------------------------------------
 
     def _rewrap_obs(self, raw_obs, wrapped_obs, env=None):
-        """reset_to_demo returns an unwrapped obs; re-apply EVERY observation
-        transformation in the wrapper chain (NormProprio, OnehotTime, ...) in
-        innermost-first order, and refill FrameStack's buffer so subsequent
-        steps don't mix pre-demo frames into the stack."""
-        if raw_obs is None:
-            return wrapped_obs
-        import gymnasium as gym
-        from collections import deque
+        """reset_to_demo returns an unwrapped obs; re-apply the full wrapper
+        chain (``envs.wrappers.rewrap_obs``)."""
+        from genima_tpu.envs.wrappers import rewrap_obs
 
-        from genima_tpu.envs.wrappers import FrameStack
-
-        chain = []
-        env = self.eval_env if env is None else env
-        while hasattr(env, "env"):
-            chain.append(env)
-            env = env.env
-        obs = dict(raw_obs)
-        stacked = None
-        for w in reversed(chain):  # innermost wrapper first
-            if isinstance(w, gym.ObservationWrapper):
-                obs = w.observation(obs)
-            elif isinstance(w, FrameStack):
-                w._frames = {
-                    k: deque([v] * w._k, maxlen=w._k) for k, v in obs.items()
-                }
-                stacked = w._stacked()
-                obs = stacked
-        if stacked is None:  # no FrameStack in the chain: stack manually
-            fs = wrapped_obs[f"{self.cameras[0]}_rgb"].shape[0]
-            return {k: np.stack([v] * fs) for k, v in obs.items()}
-        return obs
+        return rewrap_obs(
+            self.eval_env if env is None else env, raw_obs, wrapped_obs
+        )
 
     def _save_debug_images(self, obs, gen_tiles, episode, step) -> None:
         from PIL import Image

@@ -18,11 +18,12 @@ stepped host-side in a thread pool. Episodes that finish early stay in
 the batch with their final observation (static shapes — the program
 compiles once) but are masked out of stepping and accounting.
 
-Current limits, enforced loudly: classifier-free guidance
-(``guidance_scale > 1.0``) needs the serial harness, and the real
-RLBench factory cannot host N CoppeliaSim instances in one process, so
-lockstep eval targets the fake env (subprocess-backed sims are future
-work; ``cli/eval_genima.py`` refuses the combination).
+On real simulators each env lives in its own spawned child
+(``envs/subprocess_env.py`` — CoppeliaSim allows ONE instance per
+process; ``cli/eval_genima.py`` builds the children automatically), with
+demo restore + observation re-wrap done child-side. One limit, enforced
+loudly: classifier-free guidance (``guidance_scale > 1.0``) needs the
+serial harness — the batched program runs positive prompts only.
 """
 
 from __future__ import annotations
@@ -323,11 +324,17 @@ class ParallelGenimaEvalWorkspace(GenimaEvalWorkspace):
             seed = getattr(self.diffusion_agent, "seed", 2)
         else:
             seed = 2
-        obs, info = env.reset()
-        goal = info.get("descriptions", "")
-        if hasattr(env.unwrapped, "reset_to_demo"):
-            _, raw_obs = env.unwrapped.reset_to_demo(idx=episode_idx)
-            obs = self._rewrap_obs(raw_obs, obs, env)
+        if hasattr(env, "reset_to_demo_wrapped"):
+            # SubprocessEnv: restore + re-wrap happen in the child, where
+            # the wrapper chain lives
+            obs, info = env.reset_to_demo_wrapped(episode_idx)
+            goal = info.get("descriptions", "")
+        else:
+            obs, info = env.reset()
+            goal = info.get("descriptions", "")
+            if hasattr(env.unwrapped, "reset_to_demo"):
+                _, raw_obs = env.unwrapped.reset_to_demo(idx=episode_idx)
+                obs = self._rewrap_obs(raw_obs, obs, env)
         pose_fn = getattr(env.unwrapped, "initial_object_pose", None)
         return {
             "env": env,

@@ -364,6 +364,38 @@ def test_parallel_eval_pix2pix(trained_ctrl):
     assert logs["results"]["total_episodes"] == 2
 
 
+def test_parallel_eval_subprocess_envs(trained_ctrl):
+    """Lockstep eval with each env in its own spawned child (the real-sim
+    topology: one CoppeliaSim per process) — demo restore + re-wrap happen
+    child-side via reset_to_demo_wrapped; same accounting."""
+    from genima_tpu.envs.fake import build_fake_eval_env
+    from genima_tpu.envs.subprocess_env import SubprocessEnv
+
+    factory, agent, work_dir = trained_ctrl
+    envs = [
+        SubprocessEnv(
+            build_fake_eval_env,
+            image_size=32,
+            demo_length=12,
+            episode_length=40,
+            stats_path=str(work_dir),
+        )
+        for _ in range(2)
+    ]
+    try:
+        ws = ParallelGenimaEvalWorkspace(
+            _eval_cfg(work_dir, 2, 2), envs, agent,
+            diffusion_agent=_tiny_diffusion_agent(),
+        )
+        logs = ws.eval()
+        assert logs["results"]["total_episodes"] == 2
+        for ep in logs["eval_episodes"]:
+            assert ep["steps"] > 0
+    finally:
+        for e in envs:
+            e.close()
+
+
 def test_parallel_eval_refuses_cfg(trained_ctrl):
     """guidance_scale > 1.0 (classifier-free guidance) must be rejected:
     the batched program runs positive prompts only."""
