@@ -74,14 +74,20 @@ class GenimaEvalWorkspace:
 
     # -- the closed loop ----------------------------------------------------------
 
-    def _controller_act(self, obs, lang_tokens: np.ndarray) -> np.ndarray:
-        """obs dict (frame-stacked, CHW cams) -> (T, A) normalized chunk."""
-        fs = obs[f"{self.cameras[0]}_rgb"].shape[0]
+    def _act_views(self, obs, fs: int) -> np.ndarray:
+        """Camera-major (V*fs, H, W, 3) HWC views from a frame-stacked CHW
+        obs dict — the ONE definition of the controller's view order (the
+        batched lockstep path stacks this per env)."""
         views = []
         for cam in self.cameras:
             for t in range(fs):
                 views.append(np.transpose(obs[f"{cam}_rgb"][t], (1, 2, 0)))
-        images = np.stack(views)[None].astype(np.float32)  # (1, V*fs, H, W, 3)
+        return np.stack(views)
+
+    def _controller_act(self, obs, lang_tokens: np.ndarray) -> np.ndarray:
+        """obs dict (frame-stacked, CHW cams) -> (T, A) normalized chunk."""
+        fs = obs[f"{self.cameras[0]}_rgb"].shape[0]
+        images = self._act_views(obs, fs)[None].astype(np.float32)
         qpos = obs["low_dim_state"].reshape(1, -1).astype(np.float32)
         actions = self.controller_agent.act(
             self.controller_params, images, qpos, lang_tokens

@@ -294,17 +294,11 @@ class ParallelGenimaEvalWorkspace(GenimaEvalWorkspace):
         return time.time() - t0
 
     def _batched_act_only(self, slots, fs: int):
-        """ACT-only harness (no diffusion): raw RGB views batched over N."""
-        views = []
-        for s in slots:
-            obs = s["obs"]
-            vs = [
-                np.transpose(obs[f"{cam}_rgb"][t], (1, 2, 0))
-                for cam in self.cameras
-                for t in range(fs)
-            ]
-            views.append(np.stack(vs))
-        images = np.stack(views).astype(np.float32)  # (N, V*fs, S, S, 3)
+        """ACT-only harness (no diffusion): raw RGB views batched over N
+        (one view-order definition: ``GenimaEvalWorkspace._act_views``)."""
+        images = np.stack(
+            [self._act_views(s["obs"], fs) for s in slots]
+        ).astype(np.float32)  # (N, V*fs, S, S, 3)
         qpos = np.concatenate(
             [
                 s["obs"]["low_dim_state"].reshape(1, -1).astype(np.float32)
