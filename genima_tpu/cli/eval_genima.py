@@ -110,7 +110,17 @@ def main(argv=None, with_diffusion: bool = True):
     )
     seed_everything(eval_cfg.get("seed", 2))
 
-    eval_env = build_eval_env(eval_cfg, train_cfg, eval_cfg.controller_ckpt)
+    n_par = int(eval_cfg.get("num_parallel_envs", 1))
+    real_parallel = n_par > 1 and (
+        eval_cfg.get("env", {}).get("factory", "rlbench") != "fake"
+    )
+    # the real-sim parallel path builds its envs in child processes —
+    # don't construct (and then orphan) a parent-side env for it
+    eval_env = (
+        None
+        if real_parallel
+        else build_eval_env(eval_cfg, train_cfg, eval_cfg.controller_ckpt)
+    )
     controller_agent = build_controller_agent(train_cfg, eval_cfg)
     params, clip_params = controller_agent.init_params(
         __import__("jax").random.key(eval_cfg.get("seed", 2))
@@ -143,27 +153,24 @@ def main(argv=None, with_diffusion: bool = True):
         Path(eval_cfg.controller_ckpt) / "eval_logs",
         use_wandb=eval_cfg.get("wandb", {}).get("use", False),
     )
-    n_par = int(eval_cfg.get("num_parallel_envs", 1))
     if n_par > 1:
         # lockstep-batched eval: N envs, one batched TPU program per control
         # step (the reference's eval is fully serial — model-card.md:39)
         from genima_tpu.eval.parallel import ParallelGenimaEvalWorkspace
 
-        if eval_cfg.get("env", {}).get("factory", "rlbench") != "fake":
+        if real_parallel:
             # CoppeliaSim allows ONE simulator per process (the repo's own
             # demo collection uses a child process for this reason), so
-            # each real env lives in its own spawned child
-            from genima_tpu.envs.subprocess_env import SubprocessEnv
+            # each real env lives in its own spawned child; startups overlap
+            from genima_tpu.envs.subprocess_env import start_subprocess_envs
 
-            envs = [
-                SubprocessEnv(
-                    build_eval_env,
-                    eval_cfg=eval_cfg,
-                    train_cfg=train_cfg,
-                    stats_path=str(eval_cfg.controller_ckpt),
-                )
-                for _ in range(n_par)
-            ]
+            envs = start_subprocess_envs(
+                build_eval_env,
+                n_par,
+                eval_cfg=eval_cfg,
+                train_cfg=train_cfg,
+                stats_path=str(eval_cfg.controller_ckpt),
+            )
         else:
             envs = [eval_env] + [
                 build_eval_env(eval_cfg, train_cfg, eval_cfg.controller_ckpt)

@@ -140,14 +140,16 @@ class ControllerWorkspace:
         try:
             self._train_loop(num_epochs, checkpoint_every, key, preemption)
         finally:
-            # even when an exception escapes the loop: drop the signal
-            # handler first (a stale guard would eat the next run's
-            # SIGTERM; uninstall cannot fail), then flush the async writer
-            # (checkpoints must be on disk before callers read the dir —
-            # wait() may re-raise a failed write)
-            preemption.uninstall()
-            if hasattr(self, "_ckpt_writer"):
-                self._ckpt_writer.wait()
+            # flush the async writer WHILE the guard is still installed —
+            # a second SIGTERM during the multi-second flush (routine in a
+            # scheduler's grace window) must be absorbed, not kill the
+            # write mid-rename; then drop the handler unconditionally even
+            # if wait() re-raises a failed write
+            try:
+                if hasattr(self, "_ckpt_writer"):
+                    self._ckpt_writer.wait()
+            finally:
+                preemption.uninstall()
 
     def _train_loop(self, num_epochs, checkpoint_every, key, preemption):
         while self._epoch < num_epochs:

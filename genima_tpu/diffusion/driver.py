@@ -435,12 +435,14 @@ def run_training(args, variant: str = "sd", pipe=None) -> dict:
                 break
 
     finally:
-        # even when an exception escapes the loop: drop the signal
-        # handler first (a stale guard would eat the next run's
-        # SIGTERM), then flush the async writer (wait() may re-raise
-        # a failed write)
-        preemption.uninstall()
-        ckpt_writer.wait()
+        # flush the async writer WHILE the guard is still installed — a
+        # second SIGTERM during the flush (routine in a scheduler's grace
+        # window) must be absorbed, not kill the write mid-rename; then
+        # drop the handler unconditionally even if wait() re-raises
+        try:
+            ckpt_writer.wait()
+        finally:
+            preemption.uninstall()
 
     # final save at the output root (reference :1483-1486); the finally
     # above already flushed checkpoint-<step> dirs and dropped the guard

@@ -46,13 +46,18 @@ def _child_main(conn, ctor, kwargs) -> None:
             cmd, payload = conn.recv()
         except (EOFError, KeyboardInterrupt):
             break
-        try:
-            if cmd == "close":
+        if cmd == "close":
+            # leave the loop even when close() raises — the host is about
+            # to join() and a wedged sim must not stall shutdown
+            try:
                 if hasattr(env, "close"):
                     env.close()
                 conn.send(("ok", None))
-                break
-            elif cmd == "reset":
+            except Exception:
+                conn.send(("err", traceback.format_exc()))
+            break
+        try:
+            if cmd == "reset":
                 res = env.reset()
             elif cmd == "step":
                 res = env.step(payload)
@@ -68,19 +73,9 @@ def _child_main(conn, ctor, kwargs) -> None:
                 fn = getattr(env.unwrapped, "initial_object_pose", None)
                 res = fn() if callable(fn) else None
             elif cmd == "render_frame":
-                base = env.unwrapped
-                if hasattr(base, "render_frame"):
-                    res = np.asarray(base.render_frame(), np.uint8)
-                elif hasattr(base, "_obs"):
-                    obs = base._obs()
-                    cams = [k for k in obs if k.endswith("_rgb")]
-                    res = (
-                        np.transpose(obs[cams[0]], (1, 2, 0)).astype(np.uint8)
-                        if cams
-                        else None
-                    )
-                else:
-                    res = None
+                from genima_tpu.eval.video import frame_from_env
+
+                res = frame_from_env(env)  # None when no frame (host guards)
             else:
                 raise ValueError(f"unknown SubprocessEnv command {cmd!r}")
             conn.send(("ok", res))
@@ -96,7 +91,8 @@ class SubprocessEnv:
     builds and returns the fully-wrapped env; ``kwargs`` must pickle.
     """
 
-    def __init__(self, ctor, **kwargs):
+    def __init__(self, ctor, _defer_handshake: bool = False, **kwargs):
+        self._ctor_name = getattr(ctor, "__qualname__", repr(ctor))
         ctx = mp.get_context("spawn")
         self._parent, child = ctx.Pipe()
         self._proc = ctx.Process(
@@ -104,14 +100,36 @@ class SubprocessEnv:
         )
         self._proc.start()
         child.close()
-        status, payload = self._parent.recv()
+        if not _defer_handshake:
+            self._handshake()
+
+    def _handshake(self) -> None:
+        """Block until the child finished constructing its env (simulator
+        startup); ``start_subprocess_envs`` defers this so N startups
+        overlap instead of paying N serial launches."""
+        status, payload = self._recv("startup")
         if status == "err":
-            raise RuntimeError(f"SubprocessEnv child failed:\n{payload}")
+            raise RuntimeError(
+                f"SubprocessEnv child ({self._ctor_name}) failed:\n{payload}"
+            )
         self.observation_space, self.action_space = payload
+
+    def _recv(self, what: str):
+        try:
+            return self._parent.recv()
+        except EOFError:
+            # the child died without reaching Python error handling (e.g.
+            # a simulator abort or an import crash during spawn unpickling)
+            code = self._proc.exitcode
+            raise RuntimeError(
+                f"SubprocessEnv child ({self._ctor_name}) died during "
+                f"{what} without a traceback (exitcode {code}); check the "
+                "child's stderr above"
+            ) from None
 
     def _call(self, cmd, payload=None):
         self._parent.send((cmd, payload))
-        status, res = self._parent.recv()
+        status, res = self._recv(cmd)
         if status == "err":
             raise RuntimeError(f"SubprocessEnv child error:\n{res}")
         return res
@@ -145,3 +163,15 @@ class SubprocessEnv:
         self._proc.join(timeout=10)
         if self._proc.is_alive():
             self._proc.terminate()
+
+
+def start_subprocess_envs(ctor, n: int, **kwargs) -> list[SubprocessEnv]:
+    """Spawn N children first, THEN collect their startup handshakes, so N
+    simulator launches overlap (a serial loop would pay N full startups)."""
+    envs = [
+        SubprocessEnv(ctor, _defer_handshake=True, **kwargs)
+        for _ in range(n)
+    ]
+    for env in envs:
+        env._handshake()
+    return envs

@@ -355,6 +355,7 @@ class ParallelGenimaEvalWorkspace(GenimaEvalWorkspace):
             # (harness.py) — don't count the failed chunk here either
             print(f"Error (env slot, episode {slot['ep']}): {e}")
             slot["done"] = True
+            slot["error"] = True  # its env may be dead: don't touch it again
             return
         slot["steps"] += len(actions)
         if slot["steps"] > episode_length:
@@ -461,12 +462,18 @@ class ParallelGenimaEvalWorkspace(GenimaEvalWorkspace):
                     ]
                     for f in futures:
                         f.result()
-                    if slot0_live:
+                    if slot0_live and not slots[0].get("error"):
                         # record while slot 0's episode is live, including
                         # its terminating step (the serial recorder stops
                         # at episode end rather than freezing on the final
-                        # frame until every lockstep slot finishes)
-                        self.video.record(slots[0]["env"])
+                        # frame until every lockstep slot finishes); a
+                        # sim-failed slot's env may be dead — leave it, and
+                        # never let a recording error kill the other slots
+                        try:
+                            self.video.record(slots[0]["env"])
+                        except Exception as e:
+                            print(f"video recording disabled: {e}")
+                            self.video.enabled = False
 
                 for s in (s for s in slots if s["counted"]):
                     episode_success = float(np.clip(s["reward"], 0.0, 1.0))

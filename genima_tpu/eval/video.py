@@ -9,6 +9,23 @@ from pathlib import Path
 import numpy as np
 
 
+def frame_from_env(env) -> np.ndarray | None:
+    """Best-effort uint8 HWC frame from an env: ``render_frame()`` when
+    available, else the first ``*_rgb`` camera of the base observation.
+    The ONE definition shared by the host recorder and SubprocessEnv
+    children (a ``None`` result means no frame — callers must guard)."""
+    base = getattr(env, "unwrapped", env)
+    if hasattr(base, "render_frame"):
+        frame = base.render_frame()
+        return None if frame is None else np.asarray(frame, np.uint8)
+    if hasattr(base, "_obs"):
+        obs = base._obs()
+        cams = [k for k in obs if k.endswith("_rgb")]
+        if cams:
+            return np.transpose(obs[cams[0]], (1, 2, 0)).astype(np.uint8)
+    return None
+
+
 class VideoRecorder:
     def __init__(self, save_dir: str | Path, fps: int = 30):
         self.save_dir = Path(save_dir)
@@ -25,15 +42,7 @@ class VideoRecorder:
     def record(self, env) -> None:
         if not self.enabled or env is None:
             return
-        frame = None
-        base = getattr(env, "unwrapped", env)
-        if hasattr(base, "render_frame"):
-            frame = base.render_frame()
-        elif hasattr(base, "_obs"):
-            obs = base._obs()
-            cams = [k for k in obs if k.endswith("_rgb")]
-            if cams:
-                frame = np.transpose(obs[cams[0]], (1, 2, 0))
+        frame = frame_from_env(env)
         if frame is not None:
             self.frames.append(np.asarray(frame, np.uint8))
 
