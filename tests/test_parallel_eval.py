@@ -369,19 +369,17 @@ def test_parallel_eval_subprocess_envs(trained_ctrl):
     topology: one CoppeliaSim per process) — demo restore + re-wrap happen
     child-side via reset_to_demo_wrapped; same accounting."""
     from genima_tpu.envs.fake import build_fake_eval_env
-    from genima_tpu.envs.subprocess_env import SubprocessEnv
+    from genima_tpu.envs.subprocess_env import start_subprocess_envs
 
     factory, agent, work_dir = trained_ctrl
-    envs = [
-        SubprocessEnv(
-            build_fake_eval_env,
-            image_size=32,
-            demo_length=12,
-            episode_length=40,
-            stats_path=str(work_dir),
-        )
-        for _ in range(2)
-    ]
+    envs = start_subprocess_envs(
+        build_fake_eval_env,
+        2,
+        image_size=32,
+        demo_length=12,
+        episode_length=40,
+        stats_path=str(work_dir),
+    )
     try:
         ws = ParallelGenimaEvalWorkspace(
             _eval_cfg(work_dir, 2, 2), envs, agent,
