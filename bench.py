@@ -29,12 +29,77 @@ Measurement notes (axon relay):
 from __future__ import annotations
 
 import json
+import os
 import sys
+import threading
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+METRIC = "tiled_256x4_5step_sdturbo_gens_per_sec_chip"
+TARGET_GENS_PER_SEC = 10.0  # <100 ms north-star
+
+
+def _emit_error(msg: str) -> None:
+    """One structured JSON line so a relay outage is a recorded result,
+    not a crash (round 3 died on the first jax.devices() with no retry)."""
+    print(
+        json.dumps(
+            {
+                "metric": METRIC,
+                "value": 0.0,
+                "unit": "gens/sec",
+                "vs_baseline": 0.0,
+                "error": msg,
+            }
+        ),
+        flush=True,
+    )
+
+
+def _tpu_ready(attempts: int = 3, probe_timeout: float = 90.0,
+               backoff: float = 60.0) -> tuple[bool, str]:
+    """Probe backend init in a CHILD process under a timeout, with bounded
+    retries — axon-relay outages can be transient, and a hung relay blocks
+    backend init indefinitely (a child is killable; the parent is not)."""
+    import subprocess
+
+    last = ""
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout, capture_output=True, text=True,
+            )
+            if r.returncode == 0:
+                return True, ""
+            tail = (r.stderr or "").strip().splitlines()
+            last = tail[-1] if tail else f"probe rc={r.returncode}"
+        except subprocess.TimeoutExpired:
+            last = f"backend init timed out after {probe_timeout:.0f}s"
+        print(f"TPU probe {i + 1}/{attempts} failed: {last}", file=sys.stderr)
+        if i + 1 < attempts:
+            time.sleep(backoff)
+    return False, last
+
+
+def _arm_watchdog(seconds: float) -> None:
+    """If the relay hangs mid-run, emit the error line and exit instead of
+    letting the driver kill us at rc=124 with no JSON output."""
+
+    def fire():
+        time.sleep(seconds)
+        if _RESULT_EMITTED.is_set():
+            return
+        _emit_error(f"bench watchdog fired after {seconds:.0f}s (relay hang?)")
+        os._exit(0)
+
+    threading.Thread(target=fire, daemon=True).start()
+
+
+_RESULT_EMITTED = threading.Event()
 
 
 def zeros_init(pipe, image_size: int = 512, bf16: bool = False) -> dict:
@@ -53,7 +118,66 @@ def zeros_init(pipe, image_size: int = 512, bf16: bool = False) -> dict:
     return jax.tree_util.tree_map(mk, shapes)
 
 
+def measure_per_gen_ms(pipe, params, cond, embeds, latents, num_steps: int,
+                       bs: int) -> float:
+    """Slope-timed ms/gen: K generations scan-chained inside ONE program.
+
+    Sequential device dependence (iteration i+1's latents fold in a pixel
+    of iteration i's image — ~1e-9 magnitude, workload unchanged, nothing
+    hoistable/dedupable), fresh random latents per iteration, ONE dispatch.
+    Measured at two lengths; the slope cancels the per-call relay
+    round-trip exactly (a python-side chain still pays ~9 ms/gen of relay
+    gaps on this host)."""
+
+    def scan_gens(params, lat0, length):
+        def body(carry, i):
+            fb = carry
+            lat = (
+                jax.random.normal(jax.random.fold_in(jax.random.key(7), i),
+                                  lat0.shape, lat0.dtype)
+                + fb * 1e-9
+            )
+            img = pipe.generate(
+                params, cond, embeds, lat, num_inference_steps=num_steps
+            )
+            return img[0, 0, 0, 0].astype(jnp.float32), ()
+
+        fb, _ = jax.lax.scan(
+            body, jnp.zeros((), jnp.float32), jnp.arange(length)
+        )
+        return fb
+
+    runs = {}
+    for length in (4, 20):
+        f = jax.jit(scan_gens, static_argnames=("length",))
+        _ = float(np.asarray(f(params, latents, length)))  # compile
+        times = []
+        for _i in range(4):
+            t0 = time.perf_counter()
+            _ = float(np.asarray(f(params, latents, length)))
+            times.append(time.perf_counter() - t0)
+        runs[length] = min(times)
+    return (runs[20] - runs[4]) / 16 * 1000 / bs
+
+
 def main() -> None:
+    ok, err = _tpu_ready()
+    if not ok:
+        _RESULT_EMITTED.set()
+        _emit_error(f"TPU backend unavailable after retries: {err}")
+        return
+    _arm_watchdog(30 * 60)
+    try:
+        _run_bench()
+    except Exception as e:  # mid-run relay death must still produce a line
+        _RESULT_EMITTED.set()
+        import traceback
+
+        traceback.print_exc()
+        _emit_error(f"bench failed: {type(e).__name__}: {e}")
+
+
+def _run_bench() -> None:
     from genima_tpu.diffusion.pipeline import SDControlNetPipeline
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
@@ -87,43 +211,23 @@ def main() -> None:
     img.block_until_ready()
     print(f"compile + first gen: {time.time() - t0:.1f}s", file=sys.stderr)
 
-    # ---- throughput: K generations scan-chained inside ONE program --------
-    # Sequential device dependence (iteration i+1's latents fold in a pixel
-    # of iteration i's image — ~1e-9 magnitude, workload unchanged, nothing
-    # hoistable/dedupable), fresh random latents per iteration, ONE dispatch.
-    # Measured at two lengths; the slope cancels the per-call relay
-    # round-trip exactly (a python-side chain still pays ~9 ms/gen of relay
-    # gaps on this host).
-    def scan_gens(params, lat0, length):
-        def body(carry, i):
-            fb = carry
-            lat = (
-                jax.random.normal(jax.random.fold_in(jax.random.key(7), i),
-                                  lat0.shape, lat0.dtype)
-                + fb * 1e-9
-            )
-            img = pipe.generate(
-                params, cond, embeds, lat, num_inference_steps=num_steps
-            )
-            return img[0, 0, 0, 0].astype(jnp.float32), ()
-
-        fb, _ = jax.lax.scan(
-            body, jnp.zeros((), jnp.float32), jnp.arange(length)
-        )
-        return fb
-
-    runs = {}
-    for length in (4, 20):
-        f = jax.jit(scan_gens, static_argnames=("length",))
-        _ = float(np.asarray(f(params, latents, length)))  # compile
-        times = []
-        for _i in range(4):
-            t0 = time.perf_counter()
-            _ = float(np.asarray(f(params, latents, length)))
-            times.append(time.perf_counter() - t0)
-        runs[length] = min(times)
-    per_gen_ms = (runs[20] - runs[4]) / 16 * 1000 / bs
+    per_gen_ms = measure_per_gen_ms(
+        pipe, params, cond, embeds, latents, num_steps, bs
+    )
     gens_per_sec = 1000.0 / per_gen_ms
+
+    # Paper-protocol diagnostic (README.md:262 in the reference): the eval
+    # protocol is num_diffusion_steps=10; the headline stays the 5-step
+    # quickstart protocol the north-star is defined on.
+    if "--skip-10step" not in sys.argv:
+        ten_ms = measure_per_gen_ms(
+            pipe, params, cond, embeds, latents, 10, bs
+        )
+        print(
+            f"paper protocol (10-step): {ten_ms:.1f} ms/gen "
+            f"({1000.0 / ten_ms:.2f} gens/s)",
+            file=sys.stderr,
+        )
 
     # ---- diagnostic: per-call latency with per-iteration readback ---------
     times = []
@@ -146,16 +250,17 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    target_gens_per_sec = 10.0  # <100 ms north-star
+    _RESULT_EMITTED.set()
     print(
         json.dumps(
             {
-                "metric": "tiled_256x4_5step_sdturbo_gens_per_sec_chip",
+                "metric": METRIC,
                 "value": round(gens_per_sec, 3),
                 "unit": "gens/sec",
-                "vs_baseline": round(gens_per_sec / target_gens_per_sec, 3),
+                "vs_baseline": round(gens_per_sec / TARGET_GENS_PER_SEC, 3),
             }
-        )
+        ),
+        flush=True,
     )
 
 
