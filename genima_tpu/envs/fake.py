@@ -291,6 +291,35 @@ def make_vector_train_env(factory, num_envs: int = 2, **wrap_kwargs):
     return gym.vector.AsyncVectorEnv([_make for _ in range(num_envs)])
 
 
+class CrashOnSignalWrapper(gym.Wrapper):
+    """Fault injection for the lockstep workspace's recovery path: when
+    ``crash_file`` exists at step time, consume it and kill the PROCESS
+    (``os._exit``) — the shape of a CoppeliaSim abort taking its
+    ``SubprocessEnv`` child down mid-episode, which the parallel eval must
+    survive by respawning the child (reference behavior to preserve:
+    per-episode sim-failure tolerance, ``eval_genima.py:253-259``)."""
+
+    def __init__(self, env, crash_file: str):
+        super().__init__(env)
+        self._crash_file = crash_file
+
+    def step(self, action):
+        import os
+
+        if os.path.exists(self._crash_file):
+            try:
+                os.unlink(self._crash_file)  # one-shot
+            finally:
+                os._exit(17)
+        return self.env.step(action)
+
+
+def build_crashy_fake_eval_env(crash_file: str, **kwargs):
+    """Module-level (picklable) ctor: ``build_fake_eval_env`` wrapped in
+    ``CrashOnSignalWrapper`` for CI of subprocess-respawn recovery."""
+    return CrashOnSignalWrapper(build_fake_eval_env(**kwargs), crash_file)
+
+
 def build_fake_eval_env(
     image_size: int = 32,
     demo_length: int = 12,

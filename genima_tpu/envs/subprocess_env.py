@@ -92,16 +92,34 @@ class SubprocessEnv:
     """
 
     def __init__(self, ctor, _defer_handshake: bool = False, **kwargs):
+        self._ctor = ctor
+        self._kwargs = kwargs
         self._ctor_name = getattr(ctor, "__qualname__", repr(ctor))
+        self._spawn()
+        if not _defer_handshake:
+            self._handshake()
+
+    def _spawn(self) -> None:
         ctx = mp.get_context("spawn")
         self._parent, child = ctx.Pipe()
         self._proc = ctx.Process(
-            target=_child_main, args=(child, ctor, kwargs), daemon=True
+            target=_child_main,
+            args=(child, self._ctor, self._kwargs),
+            daemon=True,
         )
         self._proc.start()
         child.close()
-        if not _defer_handshake:
-            self._handshake()
+
+    def respawn(self) -> None:
+        """Tear down the (possibly dead) child and build a fresh one from
+        the stored ctor spec. A crashed CoppeliaSim takes its whole process
+        with it (routine in long evals; the serial harness tolerates it per
+        episode, reference ``eval_genima.py:253-259``) — respawning lets the
+        lockstep workspace keep the slot instead of aborting every remaining
+        episode of the run."""
+        self.close()
+        self._spawn()
+        self._handshake()
 
     def _handshake(self) -> None:
         """Block until the child finished constructing its env (simulator

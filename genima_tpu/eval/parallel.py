@@ -223,6 +223,12 @@ class ParallelGenimaEvalWorkspace(GenimaEvalWorkspace):
         self._pool = ThreadPoolExecutor(max_workers=len(eval_envs))
         self._batched_step = None
         self._batched_gen_est = None
+        # fault tolerance: a sim crash is episode-local, never run-fatal
+        # (the serial harness tolerates per-episode sim failures,
+        # harness.py sim-error handling / reference eval_genima.py:253-259)
+        self._retired: set[int] = set()       # slots whose env is gone
+        self._needs_revive: set[int] = set()  # errored mid-episode last round
+        self._any_obs = None                  # (obs, goal, lang) placeholder filler
 
     # -- batched sub-programs -------------------------------------------------
 
@@ -240,6 +246,19 @@ class ParallelGenimaEvalWorkspace(GenimaEvalWorkspace):
         slot["key"], sub = jax.random.split(slot["key"])
         dag = self.diffusion_agent
         return dag.pipe.init_latents(sub, fs, dag.resolution, dag.resolution)
+
+    def _slot_noise_keys(self, slots) -> jax.Array:
+        """One ancestral-noise subkey PER SLOT, each advancing its own
+        per-episode chain (``DiffusionAgent._next_key``'s seed+1 contract)
+        — so a batched SDXL episode's in-loop noise is identical to its
+        serial run and independent of cohort composition (round-3 weak #5;
+        the pipeline draws each slot's block from its own key,
+        ``schedulers._normal_maybe_batched``)."""
+        subs = []
+        for s in slots:
+            s["noise_key"], sub = jax.random.split(s["noise_key"])
+            subs.append(sub)
+        return jnp.stack(subs)
 
     def _assemble_batch(self, slots, fs: int):
         tiled = np.concatenate([self._tile_obs(s["obs"], fs) for s in slots])
@@ -337,10 +356,72 @@ class ParallelGenimaEvalWorkspace(GenimaEvalWorkspace):
             "goal": goal,
             "lang": self._lang_tokens(goal, obs),
             "key": jax.random.key(seed),
+            "noise_key": jax.random.key(seed + 1),
             "done": False,
             "reward": 0.0,
             "steps": 0,
             "pose": pose_fn() if callable(pose_fn) else None,
+        }
+
+    def _revive(self, si: int) -> bool:
+        """Bring slot ``si``'s env back after a mid-episode error. A
+        ``SubprocessEnv`` is respawned from its ctor spec (a crashed
+        CoppeliaSim kills its whole child process); an in-process env gets
+        one more chance — its next reset retires it if it is truly dead."""
+        env = self.eval_envs[si]
+        respawn = getattr(env, "respawn", None)
+        if not callable(respawn):
+            return True
+        try:
+            respawn()
+            print(f"slot {si}: respawned its environment after a sim error")
+            return True
+        except Exception as e:
+            print(f"slot {si}: respawn failed, retiring the slot: {e}")
+            return False
+
+    def _try_reset(self, si: int, episode_idx: int):
+        """Guarded ``_reset_slot``: on failure, respawn-and-retry once when
+        the env supports it, else retire the slot. Returns the slot dict,
+        or None when the slot retired (the caller re-queues the episode)."""
+        env = self.eval_envs[si]
+        attempts = 2 if callable(getattr(env, "respawn", None)) else 1
+        for attempt in range(attempts):
+            try:
+                slot = self._reset_slot(env, episode_idx)
+                self._any_obs = (slot["obs"], slot["goal"], slot["lang"])
+                return slot
+            except Exception as e:
+                print(
+                    f"Error (env slot {si} reset, episode {episode_idx}): {e}"
+                )
+                if attempt + 1 < attempts and not self._revive(si):
+                    break
+        self._retired.add(si)
+        print(
+            f"slot {si}: environment retired; continuing with "
+            f"{len(self.eval_envs) - len(self._retired)} live slots"
+        )
+        return None
+
+    def _placeholder_slot(self) -> dict:
+        """A done, uncounted slot for a retired env: keeps the lockstep
+        batch at its static size (one compile; even GSPMD split) without
+        touching any environment."""
+        obs, goal, lang = self._any_obs
+        return {
+            "env": None,
+            "ep": -1,
+            "obs": obs,
+            "goal": goal,
+            "lang": lang,
+            "key": jax.random.key(0),
+            "noise_key": jax.random.key(1),
+            "done": True,
+            "counted": False,
+            "reward": 0.0,
+            "steps": 0,
+            "pose": None,
         }
 
     def _step_slot(self, slot, actions, execution_horizon, episode_length):
@@ -379,21 +460,49 @@ class ParallelGenimaEvalWorkspace(GenimaEvalWorkspace):
                 "gen_time": [], "control_time": [], "fused_step_time": [],
             }
 
-            for start in range(0, num_eps, n_envs):
-                eps = list(range(start, min(start + n_envs, num_eps)))
-                # pad the final round: extra slots re-run an episode but are
-                # excluded from accounting (static batch -> one compile)
-                slots = [
-                    self._reset_slot(self.eval_envs[si], eps[si % len(eps)])
-                    for si in range(n_envs)
+            pending = list(range(num_eps))
+            while pending:
+                # revive envs that errored mid-episode last round; a failed
+                # revival retires the slot (sim crashes are episode-local,
+                # never run-fatal — reference eval_genima.py:253-259)
+                for si in sorted(self._needs_revive):
+                    if si not in self._retired and not self._revive(si):
+                        self._retired.add(si)
+                self._needs_revive.clear()
+                live_sis = [
+                    si for si in range(n_envs) if si not in self._retired
                 ]
-                for si in range(len(eps), n_envs):
-                    slots[si]["counted"] = False
-                for si in range(len(eps)):
-                    slots[si]["counted"] = True
-                fs = slots[0]["obs"][f"{self.cameras[0]}_rgb"].shape[0]
+                if not live_sis:
+                    raise RuntimeError(
+                        f"all {n_envs} parallel environments have died; "
+                        f"{len(pending)} episodes remain"
+                    )
+                eps = pending[: len(live_sis)]
+                del pending[: len(eps)]
+                # assign episodes to live slots; extra live slots re-run an
+                # episode uncounted (static batch -> one compile); retired
+                # slots get done placeholders (batch size never changes)
+                slots = [None] * n_envs
+                requeue = []
+                for idx, si in enumerate(live_sis):
+                    ep = eps[idx % len(eps)]
+                    slot = self._try_reset(si, ep)
+                    if slot is None:
+                        if idx < len(eps):
+                            requeue.append(ep)
+                        continue
+                    slot["counted"] = idx < len(eps)
+                    slots[si] = slot
+                pending[:0] = requeue
+                if not any(s is not None and s["counted"] for s in slots):
+                    continue  # every reset failed; episodes were re-queued
+                for si in range(n_envs):
+                    if slots[si] is None:
+                        slots[si] = self._placeholder_slot()
+                ref_slot = next(s for s in slots if s["counted"])
+                fs = ref_slot["obs"][f"{self.cameras[0]}_rgb"].shape[0]
                 self.video.init(
-                    slots[0]["env"],
+                    ref_slot["env"],
                     enabled=cfg.get("save_video", False),
                 )
 
@@ -401,7 +510,7 @@ class ParallelGenimaEvalWorkspace(GenimaEvalWorkspace):
                     live = sum(
                         1 for s in slots if s["counted"] and not s["done"]
                     )
-                    slot0_live = not slots[0]["done"]
+                    ref_live = not ref_slot["done"]
                     if self.diffusion_agent is not None:
                         tiled, embeds, latents, qpos, lang = (
                             self._assemble_batch(slots, fs)
@@ -423,11 +532,10 @@ class ParallelGenimaEvalWorkspace(GenimaEvalWorkspace):
                             latents,
                             qpos,
                             lang,
-                            # one noise chain for the lockstep batch (an
-                            # SDXL episode's in-loop noise is deterministic
-                            # given the batch composition, not per-episode
-                            # as in the serial loop; latents stay per-slot)
-                            key=self.diffusion_agent._next_key(),
+                            # one noise chain PER SLOT: an SDXL episode's
+                            # in-loop noise matches its serial run exactly,
+                            # independent of cohort composition
+                            key=self._slot_noise_keys(slots),
                             num_inference_steps=cfg.get(
                                 "num_diffusion_steps", 5
                             ),
@@ -462,19 +570,22 @@ class ParallelGenimaEvalWorkspace(GenimaEvalWorkspace):
                     ]
                     for f in futures:
                         f.result()
-                    if slot0_live and not slots[0].get("error"):
-                        # record while slot 0's episode is live, including
-                        # its terminating step (the serial recorder stops
-                        # at episode end rather than freezing on the final
-                        # frame until every lockstep slot finishes); a
+                    if ref_live and not ref_slot.get("error"):
+                        # record while the reference slot's episode is live,
+                        # including its terminating step (the serial recorder
+                        # stops at episode end rather than freezing on the
+                        # final frame until every lockstep slot finishes); a
                         # sim-failed slot's env may be dead — leave it, and
                         # never let a recording error kill the other slots
                         try:
-                            self.video.record(slots[0]["env"])
+                            self.video.record(ref_slot["env"])
                         except Exception as e:
                             print(f"video recording disabled: {e}")
                             self.video.enabled = False
 
+                for si, s in enumerate(slots):
+                    if s.get("error"):
+                        self._needs_revive.add(si)
                 for s in (s for s in slots if s["counted"]):
                     episode_success = float(np.clip(s["reward"], 0.0, 1.0))
                     run_total_reward += episode_success
@@ -507,10 +618,9 @@ class ParallelGenimaEvalWorkspace(GenimaEvalWorkspace):
                 with open(logs_path, "w") as f:
                     json.dump(logs, f, indent=4)
                 if cfg.get("save_video", False):
-                    s0 = slots[0]
-                    success = "succ" if s0["reward"] > 0.9 else "fail"
+                    success = "succ" if ref_slot["reward"] > 0.9 else "fail"
                     self.video.save(
-                        f"{cfg.task}_ep{s0['ep'] + 1}_{success}.mp4"
+                        f"{cfg.task}_ep{ref_slot['ep'] + 1}_{success}.mp4"
                     )
                 if self.logger is not None:
                     self.logger.log_metrics(

@@ -344,6 +344,65 @@ def test_fused_and_batched_sdxl():
     assert np.asarray(tgt_b).shape == (2 * fs, 64, 64, 3)
 
 
+def test_sdxl_batched_noise_is_per_slot(trained_ctrl):
+    """Per-slot ancestral-noise keys (round-3 weak #5): the same episode
+    produces IDENTICAL target images regardless of which other episodes
+    share its lockstep batch, and matches the serial single-episode run."""
+    from genima_tpu.eval.agents import make_tiny_sdxl_agent
+
+    dag = make_tiny_sdxl_agent(resolution=64)
+    agent, params = _tiny_controller()
+    batched = BatchedGenimaStep(dag, agent, obs_size=32)
+
+    fs = 1
+    rng = np.random.default_rng(21)
+
+    def inputs(seed_tag):
+        r = np.random.default_rng(seed_tag)
+        tiled = r.integers(0, 255, (fs, 64, 64, 3), np.uint8)
+        embeds = dag._embed_prompts([f"prompt {seed_tag}"] * fs)
+        lat = dag.pipe.init_latents(jax.random.key(seed_tag), fs, 64, 64)
+        return tiled, embeds, lat
+
+    tiled_a, emb_a, lat_a = inputs(1)
+    tiled_b, emb_b, lat_b = inputs(2)
+    tiled_c, emb_c, lat_c = inputs(3)
+    qpos = jnp.asarray(rng.normal(size=(2, 8)), jnp.float32)
+    lang = jnp.zeros((2, 77), jnp.int32)
+    key_a = jax.random.key(5)
+
+    def run(tiled2, emb2, lat2, key2):
+        keys = jnp.stack([key_a, key2])
+        embeds = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs), emb_a, emb2
+        )
+        _, tgt = batched(
+            dag.params, params, agent._clip_params,
+            jnp.asarray(np.concatenate([tiled_a, tiled2])),
+            embeds,
+            jnp.concatenate([lat_a, lat2]),
+            qpos, lang,
+            key=keys, num_inference_steps=2,
+        )
+        return np.asarray(tgt[:fs])
+
+    with_b = run(tiled_b, emb_b, lat_b, jax.random.key(6))
+    with_c = run(tiled_c, emb_c, lat_c, jax.random.key(7))
+    # same program, different cohort -> slot A bit-identical
+    np.testing.assert_array_equal(with_b, with_c)
+
+    # and equal to the serial single-episode run with slot A's own key
+    serial = dag.fused_generate(
+        dag.params, jnp.asarray(tiled_a), emb_a, lat_a, key_a,
+        num_inference_steps=2,
+    )
+    np.testing.assert_allclose(
+        with_b.astype(np.int32),
+        np.asarray(serial).astype(np.int32),
+        atol=1,  # batch-2 vs batch-1 program: one uint8 quantization step
+    )
+
+
 def test_parallel_eval_pix2pix(trained_ctrl):
     """Lockstep eval end-to-end with the Pix2Pix agent (same fused-hook
     signature, no ControlNet)."""
@@ -389,6 +448,166 @@ def test_parallel_eval_subprocess_envs(trained_ctrl):
         assert logs["results"]["total_episodes"] == 2
         for ep in logs["eval_episodes"]:
             assert ep["steps"] > 0
+    finally:
+        for e in envs:
+            e.close()
+
+
+class FlakyEnv:
+    """In-process fault injection: raise on the first ``fail_steps`` steps
+    and the first ``fail_resets`` resets, then behave normally."""
+
+    def __init__(self, env, fail_steps=0, fail_resets=0):
+        self._env = env
+        self._fail_steps = fail_steps
+        self._fail_resets = fail_resets
+
+    def step(self, actions):
+        if self._fail_steps > 0:
+            self._fail_steps -= 1
+            raise RuntimeError("injected sim crash (step)")
+        return self._env.step(actions)
+
+    def reset(self, **kwargs):
+        if self._fail_resets > 0:
+            self._fail_resets -= 1
+            raise RuntimeError("injected sim crash (reset)")
+        return self._env.reset(**kwargs)
+
+    def __getattr__(self, name):
+        return getattr(self._env, name)
+
+
+def test_parallel_eval_survives_midepisode_error(trained_ctrl):
+    """A sim failure mid-episode in round 1 terminates only that episode:
+    every remaining episode still runs (round-3 weak #1; the serial
+    harness's per-episode tolerance, reference eval_genima.py:253-259)."""
+    factory, agent, work_dir = trained_ctrl
+    dag = _tiny_diffusion_agent()
+    envs = [
+        factory.make_eval_env(
+            frame_stack=1, action_sequence=10, stats_path=str(work_dir)
+        )
+        for _ in range(2)
+    ]
+    envs[1] = FlakyEnv(envs[1], fail_steps=1)
+    ws = ParallelGenimaEvalWorkspace(
+        _eval_cfg(work_dir, 4, 2), envs, agent, diffusion_agent=dag
+    )
+    logs = ws.eval()
+    assert logs["results"]["total_episodes"] == 4
+    assert len(logs["eval_episodes"]) == 4
+    # the crashed episode is counted (reward so far, like the serial path);
+    # the env recovers and later episodes on that slot step normally
+    assert sum(1 for ep in logs["eval_episodes"] if ep["steps"] == 0) <= 1
+    assert sum(1 for ep in logs["eval_episodes"] if ep["steps"] > 0) >= 3
+    assert not ws._retired
+
+
+def test_parallel_eval_retires_dead_env(trained_ctrl):
+    """An env whose resets keep failing is retired; its episodes are
+    re-queued onto surviving slots and the run still completes."""
+    factory, agent, work_dir = trained_ctrl
+    dag = _tiny_diffusion_agent()
+    envs = [
+        factory.make_eval_env(
+            frame_stack=1, action_sequence=10, stats_path=str(work_dir)
+        )
+        for _ in range(2)
+    ]
+    envs[1] = FlakyEnv(envs[1], fail_resets=10_000)
+    ws = ParallelGenimaEvalWorkspace(
+        _eval_cfg(work_dir, 3, 2), envs, agent, diffusion_agent=dag
+    )
+    logs = ws.eval()
+    assert logs["results"]["total_episodes"] == 3
+    assert all(ep["steps"] > 0 for ep in logs["eval_episodes"])
+    assert ws._retired == {1}
+
+
+def test_parallel_eval_all_envs_dead(trained_ctrl):
+    """Every env dead -> loud RuntimeError, not a hang or silent skip."""
+    factory, agent, work_dir = trained_ctrl
+    envs = [
+        FlakyEnv(
+            factory.make_eval_env(
+                frame_stack=1, action_sequence=10, stats_path=str(work_dir)
+            ),
+            fail_resets=10_000,
+        )
+        for _ in range(2)
+    ]
+    ws = ParallelGenimaEvalWorkspace(
+        _eval_cfg(work_dir, 2, 2), envs, agent,
+        diffusion_agent=_tiny_diffusion_agent(),
+    )
+    with pytest.raises(RuntimeError, match="environments have died"):
+        ws.eval()
+
+
+def test_subprocess_env_respawn(trained_ctrl):
+    """SubprocessEnv.respawn rebuilds a dead child from its ctor spec."""
+    import os
+    import tempfile
+
+    from genima_tpu.envs.fake import build_crashy_fake_eval_env
+    from genima_tpu.envs.subprocess_env import SubprocessEnv
+
+    _factory, _agent, work_dir = trained_ctrl
+    crash = tempfile.mktemp(suffix=".crash")
+    env = SubprocessEnv(
+        build_crashy_fake_eval_env,
+        crash_file=crash,
+        image_size=32,
+        demo_length=12,
+        episode_length=40,
+        stats_path=str(work_dir),
+    )
+    try:
+        obs, _ = env.reset()
+        open(crash, "w").close()
+        with pytest.raises(RuntimeError):
+            env.step(np.zeros((1, 8), np.float32))
+        assert not os.path.exists(crash)  # consumed before dying
+        env.respawn()
+        obs, _ = env.reset()
+        obs2, *_ = env.step(np.zeros((1, 8), np.float32))
+        assert obs2.keys() == obs.keys()
+    finally:
+        env.close()
+
+
+def test_parallel_eval_respawns_subprocess_env(trained_ctrl):
+    """A child-process death mid-episode (the real CoppeliaSim failure
+    mode) is healed by respawn: the run completes every episode."""
+    import tempfile
+
+    from genima_tpu.envs.fake import build_crashy_fake_eval_env
+    from genima_tpu.envs.subprocess_env import SubprocessEnv
+
+    factory, agent, work_dir = trained_ctrl
+    crash = tempfile.mktemp(suffix=".crash")
+    envs = [
+        SubprocessEnv(
+            build_crashy_fake_eval_env,
+            crash_file=crash if i == 1 else crash + ".never",
+            image_size=32,
+            demo_length=12,
+            episode_length=40,
+            stats_path=str(work_dir),
+        )
+        for i in range(2)
+    ]
+    open(crash, "w").close()  # env 1 dies on its first step
+    try:
+        ws = ParallelGenimaEvalWorkspace(
+            _eval_cfg(work_dir, 4, 2), envs, agent,
+            diffusion_agent=_tiny_diffusion_agent(),
+        )
+        logs = ws.eval()
+        assert logs["results"]["total_episodes"] == 4
+        assert sum(1 for ep in logs["eval_episodes"] if ep["steps"] > 0) >= 3
+        assert not ws._retired  # the slot was respawned, not retired
     finally:
         for e in envs:
             e.close()
