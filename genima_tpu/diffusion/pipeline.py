@@ -30,6 +30,7 @@ from genima_tpu.data.tiling import denormalize_to_uint8
 from genima_tpu.diffusion.schedulers import (
     EulerAncestralScheduler,
     EulerDiscreteScheduler,
+    split_maybe_batched,
 )
 from genima_tpu.nn.clip_text import CLIPTextConfig, CLIPTextModel
 from genima_tpu.nn.controlnet import ControlNetModel
@@ -371,7 +372,10 @@ class SDXLControlNetPipeline(SDControlNetPipeline):
                 mid_block_additional_residual=mid_res,
                 added_cond_kwargs=added,
             )
-            key, sub = jax.random.split(key)
+            # a (N,) key batch keeps one noise chain per lockstep episode
+            # (schedulers.split_maybe_batched); a scalar key is the serial
+            # single-episode chain — identical math either way
+            key, sub = split_maybe_batched(key)
             sample = self.scheduler.step(
                 state, eps.astype(jnp.float32), i, sample, sub
             )

@@ -167,6 +167,34 @@ class EulerDiscreteScheduler:
 # ---------------------------------------------------------------------------
 
 
+def split_maybe_batched(key: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """``jax.random.split`` for a scalar key, or lane-wise for a (N,) key
+    batch — one independent noise chain per lockstep episode, so a batched
+    episode's in-loop noise is reproducible regardless of cohort
+    composition (it equals the serial run with that slot's key)."""
+    if key.ndim == 0:
+        nxt, sub = jax.random.split(key)
+        return nxt, sub
+    ks = jax.vmap(jax.random.split)(key)  # (N, 2)
+    return ks[:, 0], ks[:, 1]
+
+
+def _normal_maybe_batched(key: jax.Array, shape, dtype=jnp.float32):
+    """Per-slot noise: a (N,) key batch draws each slot's block from its
+    own key over the per-slot shape, exactly what the serial (batch =
+    one episode) path draws with a scalar key."""
+    if key.ndim == 0:
+        return jax.random.normal(key, shape, dtype)
+    n = key.shape[0]
+    assert shape[0] % n == 0, (
+        f"batched noise keys ({n}) must divide the sample batch ({shape[0]})"
+    )
+    per = shape[0] // n
+    return jax.vmap(
+        lambda k: jax.random.normal(k, (per, *shape[1:]), dtype)
+    )(key).reshape(shape)
+
+
 @dataclasses.dataclass(frozen=True)
 class EulerAncestralScheduler:
     config: SchedulerConfig = SchedulerConfig(timestep_spacing="trailing")
@@ -201,7 +229,7 @@ class EulerAncestralScheduler:
         sigma_down = jnp.sqrt(jnp.maximum(sigma_to**2 - sigma_up**2, 0.0))
         derivative = (sample32 - pred_x0) / sigma_from
         prev = sample32 + derivative * (sigma_down - sigma_from)
-        noise = jax.random.normal(key, sample.shape, jnp.float32)
+        noise = _normal_maybe_batched(key, sample.shape, jnp.float32)
         prev = prev + noise * sigma_up
         return prev.astype(sample.dtype)
 
