@@ -58,7 +58,26 @@ class ControllerWorkspace:
         # training every episode may carry different text
         from genima_tpu.data.tokenizer import load_tokenizer
 
-        tokenizer = load_tokenizer(cfg.get("tokenizer_merges"))
+        # real CLIP weights + the hash stand-in tokenizer silently produce
+        # MEANINGLESS language conditioning at train time — the exact
+        # combination load_eval_clip fails loudly for on the eval side
+        # (cli/eval_genima.py). Auto-discover merges alongside clip_weights
+        # (a snapshot dir, or merges.txt next to the .pt) and make the hash
+        # fallback a hard error whenever clip_weights is set.
+        clip_w = cfg.get("clip_weights")
+        try:
+            tokenizer = load_tokenizer(
+                cfg.get("tokenizer_merges"),
+                allow_hash_fallback=not clip_w,
+                model_dir=Path(clip_w).parent if clip_w else None,
+            )
+        except FileNotFoundError as e:
+            raise FileNotFoundError(
+                f"{e}\nclip_weights={clip_w} is set: training a controller "
+                "with real CLIP embeddings but hash-tokenized language "
+                "would silently break conditioning. Pass tokenizer_merges= "
+                "or place merges.txt alongside the CLIP checkpoint."
+            ) from e
 
         # eval env created once to persist stats JSON + validate spaces
         env = factory.make_eval_env(

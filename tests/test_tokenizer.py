@@ -200,3 +200,94 @@ def test_discover_merges_from_snapshot(tmp_path):
     empty.mkdir()
     with pytest.raises(FileNotFoundError):
         load_tokenizer(empty)
+
+
+def _workspace_cfg(clip_weights, **extra):
+    from genima_tpu.core.config import Config
+
+    d = {
+        "num_train_epochs": 1,
+        "checkpoint_every": 1,
+        "batch_size": 4,
+        "action_sequence": 10,
+        "frame_stack": 1,
+        "seed": 0,
+        "clip_weights": clip_weights,
+    }
+    d.update(extra)
+    return Config.from_dict(d)
+
+
+def _tiny_act_agent():
+    from genima_tpu.control.policy import GenimaACTAgent
+    from genima_tpu.nn.act import ACTConfig
+    from genima_tpu.nn.clip_text import CLIPTextConfig
+
+    return GenimaACTAgent(
+        act_cfg=ACTConfig.tiny(num_queries=10),
+        clip_cfg=CLIPTextConfig.tiny(projection_dim=16),
+        image_size=32,
+        resnet_width=8,
+        num_views=4,
+        data_augmentation=False,
+    )
+
+
+def test_trainside_hash_tokenizer_trap(tmp_path, monkeypatch):
+    """clip_weights set + no merge table anywhere -> hard error at
+    workspace construction (round-3 weak #4): a controller trained with
+    real CLIP embeddings but hash-tokenized language silently breaks
+    conditioning — symmetric with load_eval_clip's fail-loud on the eval
+    side (cli/eval_genima.py)."""
+    import genima_tpu.data.tokenizer as tok
+    from genima_tpu.control.trainer import ControllerWorkspace
+    from genima_tpu.envs import FakeRLBenchFactory
+
+    monkeypatch.setattr(tok, "VENDORED_VOCAB", tmp_path / "missing.gz")
+    clip_w = tmp_path / "ViT-B-32.pt"
+    clip_w.touch()
+    factory = FakeRLBenchFactory(
+        image_size=32, demo_length=8, episode_length=20
+    )
+    with pytest.raises(FileNotFoundError, match="clip_weights"):
+        ControllerWorkspace(
+            _workspace_cfg(str(clip_w)),
+            _tiny_act_agent(),
+            factory,
+            tmp_path / "work",
+            num_demos=1,
+            logger=None,
+        )
+
+
+def test_trainside_merges_discovered_next_to_clip_weights(tmp_path, monkeypatch):
+    """merges.txt beside the CLIP checkpoint is auto-discovered: the
+    workspace builds with the REAL BPE (no hash fallback, no error)."""
+    import json
+
+    import genima_tpu.data.tokenizer as tok
+    from genima_tpu.control.trainer import ControllerWorkspace
+    from genima_tpu.envs import FakeRLBenchFactory
+
+    monkeypatch.setattr(tok, "VENDORED_VOCAB", tmp_path / "missing.gz")
+    with open(Path(__file__).parent / "fixtures" / "tokenizer_golden.json") as f:
+        fx = json.load(f)
+    clip_dir = tmp_path / "clip"
+    clip_dir.mkdir()
+    (clip_dir / "ViT-B-32.pt").touch()
+    with open(clip_dir / "merges.txt", "w") as f:
+        f.write("#version: 0.2\n")
+        for a, b in fx["merges"]:
+            f.write(f"{a} {b}\n")
+    factory = FakeRLBenchFactory(
+        image_size=32, demo_length=8, episode_length=20
+    )
+    ws = ControllerWorkspace(
+        _workspace_cfg(str(clip_dir / "ViT-B-32.pt")),
+        _tiny_act_agent(),
+        factory,
+        tmp_path / "work",
+        num_demos=1,
+        logger=None,
+    )
+    assert ws is not None
