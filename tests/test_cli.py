@@ -426,3 +426,24 @@ def test_train_act_resume_keeps_checkpointed_backbone(tmp_path):
     assert len(got) == len(want)
     for g, w in zip(got, want):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_quickstart_eval_dry_run():
+    """scripts/quickstart_eval.sh --dry-run: the download->convert->eval
+    chain shape, exercised against the fake factory with the reference
+    quickstart flag set (round-3 next #10). The first sim-equipped machine
+    runs the same script without --dry-run for the real success-rate
+    comparison."""
+    import subprocess
+    from pathlib import Path
+
+    repo = Path(__file__).parent.parent
+    r = subprocess.run(
+        ["bash", "scripts/quickstart_eval.sh", "--dry-run", "--episodes=2"],
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        timeout=1200,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "chain verified end-to-end" in r.stdout
