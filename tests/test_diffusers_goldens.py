@@ -1,0 +1,101 @@
+"""Golden-activation fidelity for UNet / ControlNet / AutoencoderKL.
+
+With ``tests/fixtures/diffusers_goldens.npz`` present (generated once by
+``scripts/make_diffusers_goldens.py`` on a machine with real diffusers),
+these tests pin our three diffusion models to the real library's
+activations — no torch/diffusers needed at test time, like the CLIP
+goldens (``clip_text_golden_hf.npz``).
+
+Until that file is generated (this image has no diffusers and zero
+egress), the same path runs against a self-generated fixture from our own
+models through the identical writer/schema/port/forward chain — proving
+the whole harness end to end so the networked machine only swaps in real
+values. The fixture's ``meta/source`` records which oracle was used and
+the test output says so loudly.
+"""
+
+import ast
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from genima_tpu.weights import goldens
+
+pytestmark = pytest.mark.fast
+
+ATOL = 2e-4  # accumulated fp32 drift over whole-model forwards
+
+
+@pytest.fixture(scope="module")
+def golden_file(tmp_path_factory):
+    if goldens.GOLDENS_PATH.exists():
+        return goldens.GOLDENS_PATH
+    p = tmp_path_factory.mktemp("goldens") / "self_goldens.npz"
+    goldens.make_self_goldens(p)
+    return p
+
+
+def test_models_reproduce_golden_activations(golden_file):
+    source, sds, outs = goldens.load_goldens(golden_file)
+    print(f"golden oracle: {source}")
+    ours = goldens.run_ours(sds)
+    assert set(ours) == set(outs), (
+        f"output inventory drifted: {set(ours) ^ set(outs)}"
+    )
+    for name in sorted(outs):
+        np.testing.assert_allclose(
+            ours[name], outs[name], atol=ATOL,
+            err_msg=f"{name} (oracle: {source})",
+        )
+
+
+def test_goldens_cover_every_parameter(golden_file):
+    """Porting must consume a state dict that covers OUR full trees: the
+    self/real fixture exports map 1:1 (port_torch_state_dict raises on
+    missing tensors; here we additionally pin the total count)."""
+    import jax
+
+    _source, sds, _outs = goldens.load_goldens(golden_file)
+    (u, up), (c, cp), (v, vp) = goldens._build_ours()
+    for sd, params in ((sds["unet"], up), (sds["controlnet"], cp),
+                       (sds["vae"], vp)):
+        n_ours = sum(
+            np.prod(x.shape) for x in jax.tree_util.tree_leaves(params)
+        )
+        n_theirs = sum(int(np.asarray(t).size) for t in sd.values())
+        assert n_ours == n_theirs, (
+            f"parameter-count mismatch: ours {n_ours} vs golden {n_theirs}"
+        )
+
+
+def test_generator_script_consistent_with_shared_specs():
+    """The generation script (which can't run offline) must draw every
+    config/input/schema from goldens.py — parse it and check it imports
+    the shared names and never redefines them."""
+    script = (
+        Path(__file__).parent.parent / "scripts" / "make_diffusers_goldens.py"
+    )
+    tree = ast.parse(script.read_text())
+    imported = {
+        a.name
+        for node in ast.walk(tree)
+        if isinstance(node, ast.ImportFrom)
+        and node.module == "genima_tpu.weights.goldens"
+        for a in node.names
+    }
+    required = {
+        "TINY_UNET", "TINY_VAE", "CN_COND_CHANNELS", "CONDITIONING_SCALE",
+        "golden_inputs", "save_goldens", "GOLDENS_PATH",
+    }
+    assert required <= imported, f"script must import {required - imported}"
+    assigned = {
+        t.id
+        for node in ast.walk(tree)
+        if isinstance(node, ast.Assign)
+        for t in node.targets
+        if isinstance(t, ast.Name)
+    }
+    assert not (required & assigned), (
+        f"script shadows shared specs: {required & assigned}"
+    )
