@@ -148,12 +148,68 @@ def bench_pix2pix(size: int = 512):
     return ms
 
 
+def bench_taesd(size: int = 512):
+    """The reference's fast-VAE knob (``autoencoder='taesd'``,
+    sd_controlnet_agent.py:44-49) on the flagship SD pipeline: the distilled
+    AutoencoderTiny replaces the KL decoder inside the denoise program."""
+    from genima_tpu.diffusion.pipeline import SDControlNetPipeline
+
+    pipe = SDControlNetPipeline(use_tiny_vae=True)
+    shapes = jax.eval_shape(
+        lambda: pipe.init_params(jax.random.key(0), image_size=size,
+                                 fast=False)
+    )
+    params = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(
+            s.shape, jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype
+        ),
+        shapes,
+    )
+    jax.block_until_ready(params)
+    embeds = jnp.zeros((1, 77, pipe.text_cfg.hidden_size), jnp.bfloat16)
+    cond = jax.random.uniform(jax.random.key(1), (1, size, size, 3))
+    lat0 = pipe.init_latents(jax.random.key(2), 1, size, size)
+    steps = 5
+
+    def chain(p, length):
+        def body(carry, i):
+            fb = carry
+            lat = (
+                jax.random.normal(
+                    jax.random.fold_in(jax.random.key(7), i),
+                    lat0.shape, lat0.dtype,
+                )
+                + fb * 1e-9
+            )
+            img = pipe.generate(
+                p, cond, embeds, lat, num_inference_steps=steps
+            )
+            return img[0, 0, 0, 0].astype(jnp.float32), ()
+
+        fb, _ = jax.lax.scan(
+            body, jnp.zeros((), jnp.float32), jnp.arange(length)
+        )
+        return fb
+
+    t0 = time.time()
+    ms = slope(chain, params)
+    print(
+        f"sd+taesd {size}^2 {steps}-step: {ms:7.1f} ms/gen "
+        f"({1000/ms:5.2f} gens/s) | total {time.time()-t0:.0f}s",
+        flush=True,
+    )
+    return ms
+
+
 def main():
     which = "all"
     for a in sys.argv[1:]:
         if a.startswith("--which="):
             which = a.split("=")[1]
     print(f"devices: {jax.devices()}", flush=True)
+    if which == "taesd":
+        bench_taesd(512)
+        return
     if which in ("sdxl", "all"):
         bench_sdxl(512)
         if "--xl1024" in sys.argv:
