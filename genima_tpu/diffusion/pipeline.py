@@ -67,6 +67,16 @@ class SDControlNetPipeline:
     # the reference's taesd fast-VAE knob (sd_controlnet_agent.py:44-49):
     # decode generated latents with the distilled AutoencoderTiny
     use_tiny_vae: bool = False
+    # How to decode a BATCH of latents. XLA's TPU conv lowering for the
+    # 512x512 narrow-channel decoder degrades ~2.5x per image at batch
+    # 2..7 (measured scripts/ab_batch_scaling.py on v5e: 17.8 ms/img at
+    # N=1, 45.5 at N=2, 48.9 at N=4, then 16.2 at N=8 once the batch
+    # fills the 8-sublane tile). "auto" decodes per-image via lax.map in
+    # that bad window and natively otherwise; "batched" forces the native
+    # path (REQUIRED when the batch axis is GSPMD-sharded over a mesh —
+    # a global lax.map would serialize across devices); "single" forces
+    # per-image decode.
+    decode_mode: str = "auto"
 
     def __post_init__(self):
         self.unet = UNet2DConditionModel(self.unet_cfg, dtype=self.dtype,
@@ -95,7 +105,22 @@ class SDControlNetPipeline:
 
     def _decode_latents(self, params: dict, sample: jax.Array) -> jax.Array:
         """Scaled latents -> image in [-1, 1]; taesd consumes scaled latents
-        directly (diffusers AutoencoderTiny convention)."""
+        directly (diffusers AutoencoderTiny convention).
+
+        Batch handling per ``decode_mode``: in the measured bad window
+        (2 <= N <= 7) the per-image sequential decode is ~2.5x faster per
+        image than the native batched lowering on v5e."""
+        n = sample.shape[0]
+        single = self.decode_mode == "single" or (
+            self.decode_mode == "auto" and 1 < n < 8
+        )
+        if single:
+            return jax.lax.map(
+                lambda s: self._decode_one_batch(params, s[None])[0], sample
+            )
+        return self._decode_one_batch(params, sample)
+
+    def _decode_one_batch(self, params: dict, sample: jax.Array) -> jax.Array:
         if self.use_tiny_vae:
             return self.tiny_vae.apply(
                 {"params": params["tiny_vae"]}, sample.astype(self.dtype),

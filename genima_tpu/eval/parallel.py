@@ -69,6 +69,13 @@ class BatchedGenimaStep:
                 FSDP_AXIS, data_sharding, replicated,
             )
 
+            # the batch axis is GSPMD-split over ``data``: the pipeline's
+            # "auto" per-image decode (a global lax.map) would serialize
+            # the whole batch through one device at a time — force the
+            # native batched decode, whose per-device batch is N/n_data
+            if dict(mesh.shape).get("data", 1) > 1:
+                self.pipe.decode_mode = "batched"
+
             self._rep = replicated(mesh)
             self._dat = data_sharding(mesh)
             self._param_key = None

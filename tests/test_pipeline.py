@@ -124,3 +124,49 @@ def test_pix2pix_pipeline_runs():
         params, jnp.zeros((1, 16, 16, 3)), embeds, lat, num_inference_steps=2
     )
     assert img.shape == (1, 16, 16, 3)
+
+
+def test_decode_mode_single_matches_batched(sd_pipe):
+    """Per-image lax.map decode (the v5e batch-2..7 workaround, PERF.md
+    round 4) must be numerically identical to the native batched decode."""
+    pipe, params = sd_pipe
+    lat = jax.random.normal(
+        jax.random.key(11), (3, 2, 2, pipe.vae_cfg.latent_channels), jnp.float32
+    )
+    try:
+        pipe.decode_mode = "single"
+        a = pipe._decode_latents(params, lat)
+        pipe.decode_mode = "batched"
+        b = pipe._decode_latents(params, lat)
+    finally:
+        pipe.decode_mode = "auto"
+    assert a.shape == b.shape == (3, 4, 4, 3)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_decode_mode_auto_window():
+    """'auto' decodes per-image exactly in the measured bad window 2..7
+    (scripts/ab_batch_scaling.py): N=1 and N>=8 stay on the native path."""
+    pipe = SDControlNetPipeline(
+        unet_cfg=UNetConfig.tiny(),
+        vae_cfg=VAEConfig.tiny_test(),
+        text_cfg=CLIPTextConfig.tiny(),
+        dtype=jnp.float32,
+    )
+    calls = []
+    orig = pipe._decode_one_batch
+
+    def spy(params, sample):
+        calls.append(sample.shape[0])
+        return orig(params, sample)
+
+    pipe._decode_one_batch = spy
+    params = pipe.init_params(jax.random.key(0), image_size=16)
+    for n, expect_single in [(1, False), (2, True), (7, True), (8, False)]:
+        calls.clear()
+        lat = jnp.zeros((n, 2, 2, pipe.vae_cfg.latent_channels), jnp.float32)
+        pipe._decode_latents(params, lat)
+        if expect_single:
+            assert calls == [1], (n, calls)
+        else:
+            assert calls == [n], (n, calls)
