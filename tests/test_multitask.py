@@ -20,7 +20,7 @@ from genima_tpu.envs import FakeRLBenchFactory
 from genima_tpu.envs.demo import demo_description
 from genima_tpu.envs.rlbench import make_factory
 
-pytestmark = pytest.mark.fast
+# heavy: compile-bound on the 1-CPU host -- full-suite only (VERDICT r3 weak #6)
 
 TASKS = ["open_box", "close_jar"]
 

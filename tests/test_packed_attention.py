@@ -13,7 +13,7 @@ from genima_tpu.kernels.packed_attention import (
     packed_flash_attention,
 )
 
-pytestmark = pytest.mark.fast
+# heavy: compile-bound on the 1-CPU host -- full-suite only (VERDICT r3 weak #6)
 
 SHAPES = [
     # (batch, q_len, kv_len, channels, heads) — the SD UNet levels

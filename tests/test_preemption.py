@@ -15,7 +15,7 @@ from genima_tpu.envs import FakeRLBenchFactory
 from genima_tpu.nn.act import ACTConfig
 from genima_tpu.nn.clip_text import CLIPTextConfig
 
-pytestmark = pytest.mark.fast
+# heavy: compile-bound on the 1-CPU host -- full-suite only (VERDICT r3 weak #6)
 
 
 def test_guard_real_signal():

@@ -14,7 +14,7 @@ from genima_tpu.kernels.w8_matmul import (
 )
 from genima_tpu.weights.quantize import quantize_dense_tree
 
-pytestmark = pytest.mark.fast
+# heavy: compile-bound on the 1-CPU host -- full-suite only (VERDICT r3 weak #6)
 
 
 def test_quantize_weight_error_bound():
