@@ -75,8 +75,20 @@ class SDControlNetPipeline:
     # that bad window and natively otherwise; "batched" forces the native
     # path (REQUIRED when the batch axis is GSPMD-sharded over a mesh —
     # a global lax.map would serialize across devices); "single" forces
-    # per-image decode.
+    # per-image decode. Callers that need a different mode for ONE traced
+    # program pass ``decode_mode=...`` to ``generate`` (a static argument,
+    # so it participates in the jit cache key) instead of mutating this
+    # field — mutation would NOT invalidate already-traced programs
+    # (``self`` hashes by identity).
     decode_mode: str = "auto"
+    # The "auto" bad window, half-open [lo, hi): a v5e measurement of the
+    # 512x512 FULL-VAE decode (scripts/ab_batch_scaling.py). Other TPU
+    # generations / resolutions may have a different (or no) bad window —
+    # re-measure with that script and override here rather than trusting
+    # the default. "auto" never applies to the taesd tiny-VAE path (its
+    # wide-channel convs were not part of the measurement; force
+    # decode_mode="single" explicitly if a tiny-VAE window is measured).
+    decode_single_window: tuple = (2, 8)
 
     def __post_init__(self):
         self.unet = UNet2DConditionModel(self.unet_cfg, dtype=self.dtype,
@@ -103,16 +115,21 @@ class SDControlNetPipeline:
         self.text_encoder = CLIPTextModel(self.text_cfg, dtype=self.dtype)
         self._encode_prompt = jax.jit(self._encode_prompt_impl)
 
-    def _decode_latents(self, params: dict, sample: jax.Array) -> jax.Array:
+    def _decode_latents(
+        self, params: dict, sample: jax.Array, mode: Optional[str] = None
+    ) -> jax.Array:
         """Scaled latents -> image in [-1, 1]; taesd consumes scaled latents
         directly (diffusers AutoencoderTiny convention).
 
-        Batch handling per ``decode_mode``: in the measured bad window
-        (2 <= N <= 7) the per-image sequential decode is ~2.5x faster per
-        image than the native batched lowering on v5e."""
+        Batch handling per ``mode`` (defaults to ``self.decode_mode``): in
+        the measured bad window (``decode_single_window``, default batch
+        2..7) the per-image sequential decode is ~2.5x faster per image
+        than the native batched lowering on v5e."""
         n = sample.shape[0]
-        single = self.decode_mode == "single" or (
-            self.decode_mode == "auto" and 1 < n < 8
+        mode = self.decode_mode if mode is None else mode
+        lo, hi = self.decode_single_window
+        single = mode == "single" or (
+            mode == "auto" and not self.use_tiny_vae and lo <= n < hi
         )
         if single:
             return jax.lax.map(
@@ -164,7 +181,7 @@ class SDControlNetPipeline:
         jax.jit,
         static_argnames=(
             "self", "num_inference_steps", "return_uint8", "guidance_scale",
-            "controlnet_conditioning_scale",
+            "controlnet_conditioning_scale", "decode_mode",
         ),
     )
     def generate(
@@ -178,6 +195,7 @@ class SDControlNetPipeline:
         negative_prompt_embeds: Optional[jax.Array] = None,
         controlnet_conditioning_scale: float = 1.0,
         return_uint8: bool = True,
+        decode_mode: Optional[str] = None,  # override self.decode_mode (static)
     ) -> jax.Array:
         """Full denoise loop + VAE decode as one XLA program.
 
@@ -249,7 +267,7 @@ class SDControlNetPipeline:
             unroll=num_inference_steps <= 8,
         )
 
-        image = self._decode_latents(params, sample)
+        image = self._decode_latents(params, sample, decode_mode)
         if return_uint8:
             return denormalize_to_uint8(image)
         return image
@@ -293,12 +311,15 @@ class SDControlNetPipeline:
             if tiny_p is not None:
                 out["tiny_vae"] = tiny_p
             return out
-        return {
+        out = {
             "unet": self.unet.init(k1, lat, t, ctx)["params"],
             "controlnet": self.controlnet.init(k2, lat, t, ctx, cond)["params"],
             "vae": self.vae.init(k3, cond, k4)["params"],
             "text_encoder": self.text_encoder.init(k4, ids)["params"],
         }
+        if tiny_p is not None:
+            out["tiny_vae"] = tiny_p
+        return out
 
 
 @dataclasses.dataclass(eq=False)
@@ -345,7 +366,12 @@ class SDXLControlNetPipeline(SDControlNetPipeline):
             jnp.array([[size, size, 0, 0, size, size]], jnp.float32), (batch, 1)
         )
 
-    @partial(jax.jit, static_argnames=("self", "num_inference_steps", "return_uint8"))
+    @partial(
+        jax.jit,
+        static_argnames=(
+            "self", "num_inference_steps", "return_uint8", "decode_mode",
+        ),
+    )
     def generate(
         self,
         params: dict,
@@ -357,6 +383,7 @@ class SDXLControlNetPipeline(SDControlNetPipeline):
         num_inference_steps: int = 5,
         controlnet_conditioning_scale: float = 1.0,
         return_uint8: bool = True,
+        decode_mode: Optional[str] = None,
     ) -> jax.Array:
         """Turbo sampling (no CFG) with EulerAncestral noise injection."""
         state = self.scheduler.set_timesteps(num_inference_steps)
@@ -410,7 +437,7 @@ class SDXLControlNetPipeline(SDControlNetPipeline):
             0, num_inference_steps, body, (sample.astype(jnp.float32), key),
             unroll=num_inference_steps <= 8,
         )
-        image = self._decode_latents(params, sample)
+        image = self._decode_latents(params, sample, decode_mode)
         if return_uint8:
             return denormalize_to_uint8(image)
         return image
@@ -462,7 +489,12 @@ class SDPix2PixPipeline(SDControlNetPipeline):
         self.text_encoder = CLIPTextModel(self.text_cfg, dtype=self.dtype)
         self._encode_prompt = jax.jit(self._encode_prompt_impl)
 
-    @partial(jax.jit, static_argnames=("self", "num_inference_steps", "return_uint8"))
+    @partial(
+        jax.jit,
+        static_argnames=(
+            "self", "num_inference_steps", "return_uint8", "decode_mode",
+        ),
+    )
     def generate(
         self,
         params: dict,
@@ -471,6 +503,7 @@ class SDPix2PixPipeline(SDControlNetPipeline):
         latents: jax.Array,
         num_inference_steps: int = 5,
         return_uint8: bool = True,
+        decode_mode: Optional[str] = None,
     ) -> jax.Array:
         state = self.scheduler.set_timesteps(num_inference_steps)
         if cond_image.dtype == jnp.uint8:
@@ -500,7 +533,7 @@ class SDPix2PixPipeline(SDControlNetPipeline):
             0, num_inference_steps, body, sample.astype(jnp.float32),
             unroll=num_inference_steps <= 8,
         )
-        image = self._decode_latents(params, sample)
+        image = self._decode_latents(params, sample, decode_mode)
         if return_uint8:
             return denormalize_to_uint8(image)
         return image

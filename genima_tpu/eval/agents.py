@@ -124,13 +124,16 @@ class DiffusionAgent:
 
     def fused_generate(
         self, params, cond, embeds, latents, key,
-        num_inference_steps: int = 5,
+        num_inference_steps: int = 5, decode_mode: str | None = None,
     ):
         """Device-side generate with a family-independent signature, the
         hook the fused/batched control steps (``eval/fused.py``,
         ``eval/parallel.py``) trace: ``embeds`` is whatever
         ``_embed_prompts`` returned (a pytree), ``key`` feeds pipelines
-        with in-loop noise (EulerAncestral) and is ignored otherwise."""
+        with in-loop noise (EulerAncestral) and is ignored otherwise.
+        ``decode_mode`` overrides the pipeline's batch-decode policy for
+        this traced program (static; the GSPMD-sharded lockstep path
+        forces "batched")."""
         raise NotImplementedError
 
     # -- prompt handling -----------------------------------------------------
@@ -200,11 +203,12 @@ class SDControlNetAgent(DiffusionAgent):
         )
 
     def fused_generate(self, params, cond, embeds, latents, key,
-                       num_inference_steps: int = 5):
+                       num_inference_steps: int = 5, decode_mode=None):
         # key unused: DDIM/Euler-discrete turbo sampling injects no noise
         return self.pipe.generate(
             params, cond, embeds, latents,
             num_inference_steps=num_inference_steps,
+            decode_mode=decode_mode,
         )
 
 
@@ -241,12 +245,13 @@ class SDXLControlNetAgent(DiffusionAgent):
         )
 
     def fused_generate(self, params, cond, embeds, latents, key,
-                       num_inference_steps: int = 5):
+                       num_inference_steps: int = 5, decode_mode=None):
         # embeds = (hidden, pooled); key drives EulerAncestral noise
         hidden, pooled = embeds
         return self.pipe.generate(
             params, cond, hidden, pooled, latents, key,
             num_inference_steps=num_inference_steps,
+            decode_mode=decode_mode,
         )
 
 
@@ -286,11 +291,12 @@ class SDPix2PixAgent(DiffusionAgent):
         )
 
     def fused_generate(self, params, cond, embeds, latents, key,
-                       num_inference_steps: int = 5):
+                       num_inference_steps: int = 5, decode_mode=None):
         # key unused: pix2pix turbo sampling injects no in-loop noise
         return self.pipe.generate(
             params, cond, embeds, latents,
             num_inference_steps=num_inference_steps,
+            decode_mode=decode_mode,
         )
 
 

@@ -128,30 +128,26 @@ def test_pix2pix_pipeline_runs():
 
 def test_decode_mode_single_matches_batched(sd_pipe):
     """Per-image lax.map decode (the v5e batch-2..7 workaround, PERF.md
-    round 4) must be numerically identical to the native batched decode."""
+    round 4) must be numerically identical to the native batched decode.
+    The mode is a per-call argument, not a mutation of the pipeline."""
     pipe, params = sd_pipe
     lat = jax.random.normal(
         jax.random.key(11), (3, 2, 2, pipe.vae_cfg.latent_channels), jnp.float32
     )
-    try:
-        pipe.decode_mode = "single"
-        a = pipe._decode_latents(params, lat)
-        pipe.decode_mode = "batched"
-        b = pipe._decode_latents(params, lat)
-    finally:
-        pipe.decode_mode = "auto"
+    a = pipe._decode_latents(params, lat, "single")
+    b = pipe._decode_latents(params, lat, "batched")
+    assert pipe.decode_mode == "auto"  # untouched
     assert a.shape == b.shape == (3, 4, 4, 3)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
-def test_decode_mode_auto_window():
-    """'auto' decodes per-image exactly in the measured bad window 2..7
-    (scripts/ab_batch_scaling.py): N=1 and N>=8 stay on the native path."""
+def _spied_tiny_pipe(**pipe_kw):
     pipe = SDControlNetPipeline(
         unet_cfg=UNetConfig.tiny(),
         vae_cfg=VAEConfig.tiny_test(),
         text_cfg=CLIPTextConfig.tiny(),
         dtype=jnp.float32,
+        **pipe_kw,
     )
     calls = []
     orig = pipe._decode_one_batch
@@ -161,6 +157,14 @@ def test_decode_mode_auto_window():
         return orig(params, sample)
 
     pipe._decode_one_batch = spy
+    return pipe, calls
+
+
+def test_decode_mode_auto_window():
+    """'auto' decodes per-image exactly in the configured bad window
+    (default the v5e-measured batch 2..7, scripts/ab_batch_scaling.py):
+    N=1 and N>=8 stay on the native path."""
+    pipe, calls = _spied_tiny_pipe()
     params = pipe.init_params(jax.random.key(0), image_size=16)
     for n, expect_single in [(1, False), (2, True), (7, True), (8, False)]:
         calls.clear()
@@ -170,3 +174,51 @@ def test_decode_mode_auto_window():
             assert calls == [1], (n, calls)
         else:
             assert calls == [n], (n, calls)
+
+
+def test_decode_single_window_configurable():
+    """The 'auto' window is a config field (a v5e measurement, not a
+    hardcoded law): other hardware re-measures and overrides it."""
+    pipe, calls = _spied_tiny_pipe(decode_single_window=(3, 5))
+    params = pipe.init_params(jax.random.key(0), image_size=16)
+    for n, expect_single in [(2, False), (3, True), (4, True), (5, False)]:
+        calls.clear()
+        lat = jnp.zeros((n, 2, 2, pipe.vae_cfg.latent_channels), jnp.float32)
+        pipe._decode_latents(params, lat)
+        assert calls == ([1] if expect_single else [n]), (n, calls)
+
+
+def test_decode_mode_auto_skips_tiny_vae():
+    """'auto' was measured for the FULL 512x512 KL decoder only — the
+    taesd path must stay on the native batched decode (round-4 advisor)."""
+    pipe, calls = _spied_tiny_pipe(use_tiny_vae=True)
+    params = pipe.init_params(jax.random.key(0), image_size=16)
+    lat = jnp.zeros((4, 8, 8, pipe.vae_cfg.latent_channels), jnp.float32)
+    pipe._decode_latents(params, lat)
+    assert calls == [4], calls  # native batched, not per-image
+
+
+def test_generate_decode_mode_is_per_call_not_mutation(sd_pipe):
+    """decode_mode threads through generate() as a STATIC argument so the
+    jit cache keys on it — passing a mode never mutates the pipeline and
+    never poisons programs traced with a different mode (round-4 advisor
+    medium finding: mutation after tracing silently kept the old path)."""
+    pipe, params = sd_pipe
+    cond = jnp.zeros((2, 16, 16, 3), jnp.float32)
+    embeds = pipe.encode_prompt(params, jnp.zeros((2, 77), jnp.int32))
+    lat = pipe.init_latents(jax.random.key(3), 2, 16, 16)
+    a = pipe.generate(
+        params, cond, embeds, lat, num_inference_steps=1,
+        decode_mode="single",
+    )
+    b = pipe.generate(
+        params, cond, embeds, lat, num_inference_steps=1,
+        decode_mode="batched",
+    )
+    c = pipe.generate(params, cond, embeds, lat, num_inference_steps=1)
+    assert pipe.decode_mode == "auto"
+    np.testing.assert_allclose(
+        np.asarray(a).astype(np.int32), np.asarray(b).astype(np.int32),
+        atol=1,
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(c))  # auto n=2 -> single
