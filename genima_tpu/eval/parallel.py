@@ -64,17 +64,22 @@ class BatchedGenimaStep:
         self.controller = controller_agent
         self.obs_size = obs_size
         self.mesh = mesh
+        # When the batch axis is GSPMD-split over ``data``, the pipeline's
+        # "auto" per-image decode (a global lax.map) would serialize the
+        # whole batch through one device at a time — force the native
+        # batched decode, whose per-device batch is N/n_data. Passed as a
+        # STATIC generate argument rather than mutating the shared
+        # pipeline: mutation would not invalidate programs already traced
+        # for other harnesses and would leak past this workspace's
+        # lifetime (round-4 advisor finding).
+        self._decode_mode = None
         if mesh is not None:
             from genima_tpu.core.mesh import (
                 FSDP_AXIS, data_sharding, replicated,
             )
 
-            # the batch axis is GSPMD-split over ``data``: the pipeline's
-            # "auto" per-image decode (a global lax.map) would serialize
-            # the whole batch through one device at a time — force the
-            # native batched decode, whose per-device batch is N/n_data
             if dict(mesh.shape).get("data", 1) > 1:
-                self.pipe.decode_mode = "batched"
+                self._decode_mode = "batched"
 
             self._rep = replicated(mesh)
             self._dat = data_sharding(mesh)
@@ -146,11 +151,13 @@ class BatchedGenimaStep:
             target = self._gen(
                 diffusion_params, tiled_u8, prompt_embeds, latents, key,
                 num_inference_steps=num_inference_steps,
+                decode_mode=self._decode_mode,
             )
         else:
             target = self.pipe.generate(
                 diffusion_params, tiled_u8, prompt_embeds, latents,
                 num_inference_steps=num_inference_steps,
+                decode_mode=self._decode_mode,
             )  # (N*fs, 2S, 2S, 3) uint8
         cams = untile_to_cameras(
             target.astype(jnp.float32), target_size=self.obs_size
@@ -308,10 +315,17 @@ class ParallelGenimaEvalWorkspace(GenimaEvalWorkspace):
             )
         probe_key = jax.random.key(0)
 
+        decode_mode = (
+            self._batched_step._decode_mode
+            if self._batched_step is not None
+            else None
+        )
+
         def gen():
             out = dag.fused_generate(
                 params, jnp.asarray(tiled), embeds, latents,
                 probe_key, num_inference_steps=steps,
+                decode_mode=decode_mode,
             )
             np.asarray(out)[0, 0, 0]  # force completion through the relay
         gen()  # compile
@@ -336,6 +350,159 @@ class ParallelGenimaEvalWorkspace(GenimaEvalWorkspace):
             self.controller_params, images, qpos, lang
         )
         return np.asarray(actions)
+
+    # -- cohort pipelining ------------------------------------------------------
+    #
+    # The strictly-alternating lockstep loop leaves the TPU idle while the
+    # envs execute their action chunks and the envs idle during the
+    # denoise (round-4 PERF.md: lockstep LOST to serial end-to-end on this
+    # host, 3.59 vs 4.61 episodes/min). Splitting the slots into two
+    # cohorts and software-pipelining them — cohort A's envs step host-side
+    # while cohort B's batched program runs on device — makes each round
+    # cost max(T_device, T_env) instead of T_device + T_env. On real
+    # simulators (seconds per 20-action chunk) the device program hides
+    # entirely. Per-slot RNG chains make the cohort split semantics-free:
+    # every episode's generations are identical to the single-batch run
+    # (pinned by tests/test_parallel_eval.py::test_overlap_matches_single).
+
+    def _cohort_partition(self, slots) -> list[list[int]]:
+        """Slot-index cohorts: two halves when pipelining is on and legal
+        (diffusion path, even batch, GSPMD-divisible halves), else one."""
+        n = len(slots)
+        if (
+            not bool(self.eval_cfg.get("eval_overlap", True))
+            or self.diffusion_agent is None
+            or n < 2
+            or n % 2
+        ):
+            return [list(range(n))]
+        half = n // 2
+        parts = [list(range(half)), list(range(half, n))]
+        if self.mesh is not None:
+            n_data = dict(self.mesh.shape).get("data", 1)
+            if half % n_data:
+                return [list(range(n))]
+        return parts
+
+    def _cohort_live(self, slots, idxs) -> bool:
+        return any(
+            slots[i]["counted"] and not slots[i]["done"] for i in idxs
+        )
+
+    def _dispatch_cohort(self, slots, idxs, fs: int) -> dict:
+        """Assemble + dispatch one cohort's batched program. The returned
+        handle's ``actions`` is an in-flight device array (jax dispatch is
+        async): blocking on it is deferred so the device computes while the
+        other cohort's envs step."""
+        cfg = self.eval_cfg
+        csl = [slots[i] for i in idxs]
+        if self.diffusion_agent is None:
+            t0 = time.time()
+            actions = self._batched_act_only(csl, fs)
+            return {"actions": actions, "t0": t0, "act_only": True}
+        tiled, embeds, latents, qpos, lang = self._assemble_batch(csl, fs)
+        obs_size = csl[0]["obs"][f"{self.cameras[0]}_rgb"].shape[-1]
+        step = self._batched(obs_size)
+        t0 = time.time()
+        actions, _gen = step(
+            self.diffusion_agent.params,
+            self.controller_params,
+            self.controller_agent._clip_params,
+            tiled,
+            embeds,
+            latents,
+            qpos,
+            lang,
+            key=self._slot_noise_keys(csl),
+            num_inference_steps=cfg.get("num_diffusion_steps", 5),
+        )
+        return {
+            "actions": actions,
+            "t0": t0,
+            "act_only": False,
+            "probe": (tiled, embeds, latents),
+        }
+
+    def _run_lockstep(
+        self, slots, fs: int, timings, execution_horizon: int,
+        episode_length: int, ref_slot,
+    ) -> None:
+        """Run one slot batch to completion, pipelined over cohorts.
+
+        One cohort degenerates to the original alternating loop (identical
+        semantics); two cohorts overlap device compute with env stepping.
+        """
+        parts = self._cohort_partition(slots)
+        K = len(parts)
+        handle: dict[int, dict | None] = {c: None for c in range(K)}
+        env_futs: dict[int, list] = {c: [] for c in range(K)}
+        stepped: dict[int, bool] = {c: False for c in range(K)}
+        ref_idx = slots.index(ref_slot)
+        # ref-slot liveness CAPTURED AT DISPATCH: record while the reference
+        # episode is live, including its terminating step, but never freeze
+        # on the final frame until the other slots finish (the serial
+        # recorder's semantics, mirrored by the pre-refactor loop)
+        ref_live_at = {c: False for c in range(K)}
+
+        def launch(c: int) -> None:
+            # wait this cohort's env stepping (the other cohort's device
+            # program runs meanwhile), then re-dispatch it if still live
+            for f in env_futs[c]:
+                f.result()
+            env_futs[c] = []
+            if stepped[c] and ref_idx in parts[c]:
+                stepped[c] = False
+                # a sim-failed slot's env may be dead — leave it, and never
+                # let a recording error kill the other slots
+                if ref_live_at[c] and not ref_slot.get("error"):
+                    try:
+                        self.video.record(ref_slot["env"])
+                    except Exception as e:
+                        print(f"video recording disabled: {e}")
+                        self.video.enabled = False
+            if self._cohort_live(slots, parts[c]):
+                if ref_idx in parts[c]:
+                    ref_live_at[c] = not ref_slot["done"]
+                handle[c] = self._dispatch_cohort(slots, parts[c], fs)
+
+        for c in range(K):
+            launch(c)
+        ci = 0
+        while any(h is not None for h in handle.values()):
+            h = handle[ci]
+            if h is not None:
+                handle[ci] = None
+                actions = np.asarray(h["actions"])
+                dt = time.time() - h["t0"]
+                live = sum(
+                    1
+                    for i in parts[ci]
+                    if slots[i]["counted"] and not slots[i]["done"]
+                )
+                if h["act_only"]:
+                    timings["control_time"].append(dt / max(live, 1))
+                else:
+                    timings["fused_step_time"].append(dt)
+                    if self._batched_gen_est is None:
+                        self._batched_gen_est = self._measure_batched_gen(
+                            *h["probe"]
+                        )
+                    gen_est = min(self._batched_gen_est, dt)
+                    timings["gen_time"].append(gen_est / max(live, 1))
+                    timings["control_time"].append(
+                        (dt - gen_est) / max(live, 1)
+                    )
+                env_futs[ci] = [
+                    self._pool.submit(
+                        self._step_slot, slots[i], actions[k],
+                        execution_horizon, episode_length,
+                    )
+                    for k, i in enumerate(parts[ci])
+                    if slots[i]["counted"] and not slots[i]["done"]
+                ]
+                stepped[ci] = True
+            launch(ci)
+            ci = (ci + 1) % K
 
     # -- the lockstep loop ----------------------------------------------------
 
@@ -462,6 +629,11 @@ class ParallelGenimaEvalWorkspace(GenimaEvalWorkspace):
         for run_id, eval_ckpt in enumerate(eval_ckpts):
             print(f"\n-------- Run {run_id} (parallel x{n_envs}) ---------")
             self.load_controller_ckpt(Path(cfg.controller_ckpt) / eval_ckpt)
+            # the gen/control split is a per-checkpoint probe of the
+            # diffusion sub-program (not a live per-step measurement like
+            # the serial harness's): re-probe after every checkpoint swap
+            # so a reload can't serve a stale estimate
+            self._batched_gen_est = None
             run_episode, run_total_reward = 0, 0.0
             timings = {
                 "gen_time": [], "control_time": [], "fused_step_time": [],
@@ -513,82 +685,13 @@ class ParallelGenimaEvalWorkspace(GenimaEvalWorkspace):
                     enabled=cfg.get("save_video", False),
                 )
 
-                while not all(s["done"] for s in slots if s["counted"]):
-                    live = sum(
-                        1 for s in slots if s["counted"] and not s["done"]
-                    )
-                    ref_live = not ref_slot["done"]
-                    if self.diffusion_agent is not None:
-                        tiled, embeds, latents, qpos, lang = (
-                            self._assemble_batch(slots, fs)
-                        )
-                        obs_size = slots[0]["obs"][
-                            f"{self.cameras[0]}_rgb"
-                        ].shape[-1]
-                        step = self._batched(obs_size)
-                        t0 = time.time()
-                        # host arrays go in raw: __call__ places them once
-                        # with the right sharding (jnp.asarray here would
-                        # upload to the default device and re-place)
-                        actions, _gen = step(
-                            self.diffusion_agent.params,
-                            self.controller_params,
-                            self.controller_agent._clip_params,
-                            tiled,
-                            embeds,
-                            latents,
-                            qpos,
-                            lang,
-                            # one noise chain PER SLOT: an SDXL episode's
-                            # in-loop noise matches its serial run exactly,
-                            # independent of cohort composition
-                            key=self._slot_noise_keys(slots),
-                            num_inference_steps=cfg.get(
-                                "num_diffusion_steps", 5
-                            ),
-                        )
-                        actions = np.asarray(actions)
-                        dt = time.time() - t0
-                        timings["fused_step_time"].append(dt)
-                        if self._batched_gen_est is None:
-                            self._batched_gen_est = self._measure_batched_gen(
-                                tiled, embeds, latents
-                            )
-                        gen_est = min(self._batched_gen_est, dt)
-                        # amortized per-live-episode attribution
-                        timings["gen_time"].append(gen_est / max(live, 1))
-                        timings["control_time"].append(
-                            (dt - gen_est) / max(live, 1)
-                        )
-                    else:
-                        t0 = time.time()
-                        actions = self._batched_act_only(slots, fs)
-                        timings["control_time"].append(
-                            (time.time() - t0) / max(live, 1)
-                        )
-
-                    futures = [
-                        self._pool.submit(
-                            self._step_slot, s, actions[si],
-                            execution_horizon, episode_length,
-                        )
-                        for si, s in enumerate(slots)
-                        if s["counted"] and not s["done"]
-                    ]
-                    for f in futures:
-                        f.result()
-                    if ref_live and not ref_slot.get("error"):
-                        # record while the reference slot's episode is live,
-                        # including its terminating step (the serial recorder
-                        # stops at episode end rather than freezing on the
-                        # final frame until every lockstep slot finishes); a
-                        # sim-failed slot's env may be dead — leave it, and
-                        # never let a recording error kill the other slots
-                        try:
-                            self.video.record(ref_slot["env"])
-                        except Exception as e:
-                            print(f"video recording disabled: {e}")
-                            self.video.enabled = False
+                # cohort-pipelined rounds until every counted episode ends
+                # (one cohort == the classic alternating loop; two cohorts
+                # overlap env stepping with device compute)
+                self._run_lockstep(
+                    slots, fs, timings, execution_horizon, episode_length,
+                    ref_slot,
+                )
 
                 for si, s in enumerate(slots):
                     if s.get("error"):
@@ -657,6 +760,11 @@ class ParallelGenimaEvalWorkspace(GenimaEvalWorkspace):
             "total_episodes": global_episode,
             "eval_type": self.eval_cfg.get("eval_type", "latest"),
             "num_parallel_envs": n_envs,
+            # the lockstep program cannot be split live: gen_time /
+            # control_time come from a once-per-checkpoint probe of the
+            # diffusion sub-program, amortized per live episode (the serial
+            # harness measures them live per step) — see EVAL.md
+            "timing_attribution": "estimated",
         }
         with open(logs_path, "w") as f:
             json.dump(logs, f, indent=4)

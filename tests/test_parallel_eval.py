@@ -167,6 +167,37 @@ def test_parallel_eval_with_diffusion(trained_ctrl):
     assert (work_dir / "eval_genima_fake_reach.json").exists()
 
 
+def test_overlap_matches_single(trained_ctrl):
+    """Cohort-pipelined lockstep (``eval_overlap=True``, the default) must
+    be semantics-free: identical episodes, rewards, and step counts vs the
+    single-batch alternating loop. Per-slot RNG chains + per-episode env
+    seeding make the cohort split invisible to every episode."""
+    factory, agent, work_dir = trained_ctrl
+    results = {}
+    for overlap in (False, True):
+        dag = _tiny_diffusion_agent()
+        envs = [
+            factory.make_eval_env(
+                frame_stack=1, action_sequence=10, stats_path=str(work_dir)
+            )
+            for _ in range(4)
+        ]
+        cfg = _eval_cfg(work_dir, 4, 4)
+        cfg.eval_overlap = overlap
+        ws = ParallelGenimaEvalWorkspace(
+            cfg, envs, agent, diffusion_agent=dag
+        )
+        # the partition actually differs between the two runs
+        parts = ws._cohort_partition([{}] * 4)
+        assert parts == ([[0, 1], [2, 3]] if overlap else [[0, 1, 2, 3]])
+        logs = ws.eval()
+        results[overlap] = [
+            (ep["episode"], ep["reward"], ep["steps"])
+            for ep in logs["eval_episodes"]
+        ]
+    assert results[True] == results[False]
+
+
 def test_batched_step_mesh_matches_unsharded():
     """GSPMD-sharded BatchedGenimaStep (2-device data mesh) == unsharded."""
     from genima_tpu.core.mesh import make_mesh
@@ -211,6 +242,26 @@ def test_batched_step_mesh_matches_unsharded():
     sharded(new_dp, *args[1:], num_inference_steps=2)
     assert sharded._param_cache is not cached
     assert sharded._param_key[0] is new_dp
+
+
+def test_batched_step_forces_batched_decode_without_mutation():
+    """Under a data-sharded mesh the batched decode is forced (a global
+    lax.map would serialize the GSPMD batch through one device) — via a
+    static generate argument, never by mutating the shared pipeline
+    (round-4 advisor: mutation leaks past the workspace and does not
+    invalidate already-traced programs)."""
+    from genima_tpu.core.mesh import make_mesh
+
+    dag = _tiny_diffusion_agent()
+    agent, _ = _tiny_controller()
+    assert dag.pipe.decode_mode == "auto"
+    plain = BatchedGenimaStep(dag, agent, obs_size=32)
+    assert plain._decode_mode is None
+    sharded = BatchedGenimaStep(
+        dag, agent, obs_size=32, mesh=make_mesh(n_data=2)
+    )
+    assert sharded._decode_mode == "batched"
+    assert dag.pipe.decode_mode == "auto"  # shared pipe untouched
 
 
 def test_parallel_eval_with_mesh(trained_ctrl):
