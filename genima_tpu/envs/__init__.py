@@ -15,3 +15,5 @@ from genima_tpu.envs.demo import (  # noqa: F401
     compute_proprio_stats,
     demo_to_episode,
 )
+from genima_tpu.envs.export import export_demos_rlbench_format  # noqa: F401
+from genima_tpu.envs.rendered import RenderedDemoFactory  # noqa: F401

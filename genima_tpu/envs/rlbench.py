@@ -478,6 +478,34 @@ def make_factory(env_cfg: dict):
             task_name=tasks[0],
             episode_length=env_cfg.get("episode_length", 60),
             image_size=env_cfg.get("image_size", 64),
+            goal_observable=env_cfg.get("goal_observable", False),
+            success_tol=env_cfg.get("success_tol", 0.1),
+        )
+    if kind == "rendered":
+        # demos from an on-disk (rendered) dataset tree — the reference's
+        # train-act flow (env.dataset_root points at rendered data,
+        # controller/env/rlbench.py:301-383); closed-loop eval envs come
+        # from the factory named by env.eval_env_factory (fake for CI,
+        # rlbench on sim machines)
+        from genima_tpu.envs.rendered import RenderedDemoFactory
+
+        inner_kind = env_cfg.get("eval_env_factory")
+        eval_factory = None
+        if inner_kind:
+            inner_cfg = dict(env_cfg)
+            inner_cfg["factory"] = inner_kind
+            eval_factory = make_factory(inner_cfg)
+        return RenderedDemoFactory(
+            dataset_root=env_cfg["dataset_root"],
+            task_names=tasks,
+            variation=env_cfg.get("variation", 0),
+            cameras=tuple(
+                env_cfg.get(
+                    "cameras",
+                    ("wrist", "front", "right_shoulder", "left_shoulder"),
+                )
+            ),
+            eval_factory=eval_factory,
         )
     _require_rlbench()
     return GenimaRLBenchFactory(
