@@ -40,6 +40,7 @@ import numpy as np
 
 METRIC = "tiled_256x4_5step_sdturbo_gens_per_sec_chip"
 TARGET_GENS_PER_SEC = 10.0  # <100 ms north-star
+PEAK_BF16_TFLOPS = 197.0  # v5e per-chip MXU peak (bf16)
 
 
 def _emit_error(msg: str) -> None:
@@ -160,6 +161,92 @@ def measure_per_gen_ms(pipe, params, cond, embeds, latents, num_steps: int,
     return (runs[20] - runs[4]) / 16 * 1000 / bs
 
 
+def _program_flops(lowered) -> float:
+    """XLA's own FLOP count for a lowered program (pre-compile HLO cost
+    analysis — no second compilation). 0.0 when the backend can't say."""
+    try:
+        ca = lowered.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        return float((ca or {}).get("flops", 0.0))
+    except Exception as e:
+        print(f"cost_analysis unavailable: {e}", file=sys.stderr)
+        return 0.0
+
+
+def _decode_ms(pipe, params, n: int) -> float:
+    """Slope-timed ms per native batched VAE decode at batch ``n`` (512^2),
+    same chained-scan methodology as ``measure_per_gen_ms``."""
+    lat0 = pipe.init_latents(jax.random.key(3), n, 512, 512)
+
+    def scan_dec(params, length):
+        def body(fb, i):
+            img = pipe._decode_latents(params, lat0 + fb * 1e-9, "batched")
+            return img[0, 0, 0, 0].astype(jnp.float32), ()
+
+        fb, _ = jax.lax.scan(
+            body, jnp.zeros((), jnp.float32), jnp.arange(length)
+        )
+        return fb
+
+    f = jax.jit(scan_dec, static_argnames=("length",))
+    runs = {}
+    for length in (4, 20):
+        _ = float(np.asarray(f(params, length)))  # compile
+        times = []
+        for _i in range(3):
+            t0 = time.perf_counter()
+            _ = float(np.asarray(f(params, length)))
+            times.append(time.perf_counter() - t0)
+        runs[length] = min(times)
+    return (runs[20] - runs[4]) / 16 * 1000
+
+
+def _report_mxu_util(pipe, params, cond, embeds, latents, num_steps: int,
+                     per_gen_ms: float, bs: int) -> None:
+    """One auditable utilization line in the driver artifact (round-4 judge
+    ask #7): achieved MXU% = XLA cost-analysis FLOPs / measured wall time /
+    197 TF bf16 peak, for the full 5-step generate and for the VAE decode
+    at N=1 and N=8 (the serving batch sizes that bracket the decode_mode
+    window)."""
+    # NB: pipe.generate.lower would lose the method binding (MethodType
+    # forwards attribute access to the raw jit function) — lower on the
+    # class attribute with self passed explicitly (it's a static argname)
+    gen_fl = _program_flops(
+        type(pipe).generate.lower(
+            pipe, params, cond, embeds, latents,
+            num_inference_steps=num_steps,
+        )
+    )
+    parts = []
+    if gen_fl and per_gen_ms > 0:
+        util = gen_fl / (per_gen_ms * bs * 1e-3) / (PEAK_BF16_TFLOPS * 1e12)
+        parts.append(
+            f"generate[bs={bs}] {100 * util:.1f}% "
+            f"({gen_fl / 1e12:.2f} TF / {per_gen_ms * bs:.1f} ms)"
+        )
+    dec = jax.jit(lambda p, s: pipe._decode_latents(p, s, "batched"))
+    for n in (1, 8):
+        lat = pipe.init_latents(jax.random.key(3), n, 512, 512)
+        fl = _program_flops(dec.lower(params, lat))
+        ms = _decode_ms(pipe, params, n)
+        if fl and ms > 0:
+            util = fl / (ms * 1e-3) / (PEAK_BF16_TFLOPS * 1e12)
+            parts.append(
+                f"decode[N={n}] {100 * util:.1f}% "
+                f"({fl / 1e12:.2f} TF / {ms:.1f} ms)"
+            )
+    if parts:
+        print(
+            "mxu utilization (XLA cost-analysis flops / measured time / "
+            f"{PEAK_TFLOPS_STR}): " + " | ".join(parts),
+            file=sys.stderr,
+        )
+
+
+PEAK_TFLOPS_STR = f"{PEAK_BF16_TFLOPS:.0f} TF bf16 peak"
+
+
 def main() -> None:
     ok, err = _tpu_ready()
     if not ok:
@@ -228,6 +315,14 @@ def _run_bench() -> None:
             f"({1000.0 / ten_ms:.2f} gens/s)",
             file=sys.stderr,
         )
+
+    if "--skip-mfu" not in sys.argv:
+        try:
+            _report_mxu_util(
+                pipe, params, cond, embeds, latents, num_steps, per_gen_ms, bs
+            )
+        except Exception as e:  # diagnostics must never cost the headline
+            print(f"mxu utilization unavailable: {e}", file=sys.stderr)
 
     # ---- diagnostic: per-call latency with per-iteration readback ---------
     times = []
