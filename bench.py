@@ -161,17 +161,81 @@ def measure_per_gen_ms(pipe, params, cond, embeds, latents, num_steps: int,
     return (runs[20] - runs[4]) / 16 * 1000 / bs
 
 
-def _program_flops(lowered) -> float:
-    """XLA's own FLOP count for a lowered program (pre-compile HLO cost
-    analysis — no second compilation). 0.0 when the backend can't say."""
-    try:
-        ca = lowered.cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0] if ca else {}
-        return float((ca or {}).get("flops", 0.0))
-    except Exception as e:
-        print(f"cost_analysis unavailable: {e}", file=sys.stderr)
-        return 0.0
+# FLOP counting runs in a CPU-platform CHILD process: the axon relay's
+# PJRT client returns None from Lowered.cost_analysis(), but FLOPs are a
+# property of the HLO, not the backend — the CPU client counts the same
+# program exactly. Abstract lowering only (ShapeDtypeStruct params from
+# eval_shape): no weights materialize, no compile happens; ~30-60 s.
+_FLOPS_CHILD = r"""
+import jax, json
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+from genima_tpu.diffusion.pipeline import SDControlNetPipeline
+
+bs, steps = @BS@, @STEPS@
+pipe = SDControlNetPipeline()
+shapes = jax.eval_shape(
+    lambda: pipe.init_params(jax.random.key(0), image_size=512, fast=False)
+)
+params = jax.tree_util.tree_map(
+    lambda s: jax.ShapeDtypeStruct(
+        s.shape, jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype
+    ),
+    shapes,
+)
+cond = jax.ShapeDtypeStruct((bs, 512, 512, 3), jnp.float32)
+embeds = jax.ShapeDtypeStruct(
+    (bs, 77, pipe.text_cfg.hidden_size), jnp.bfloat16
+)
+
+
+def lat_struct(n):
+    s = jax.eval_shape(
+        lambda: pipe.init_latents(jax.random.key(2), n, 512, 512)
+    )
+    return jax.ShapeDtypeStruct(s.shape, s.dtype)
+
+
+def flops(lowered):
+    ca = lowered.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0] if ca else {}
+    return float((ca or {}).get("flops", 0.0))
+
+
+out = {
+    "gen": flops(
+        type(pipe).generate.lower(
+            pipe, params, cond, embeds, lat_struct(bs),
+            num_inference_steps=steps,
+        )
+    )
+}
+dec = jax.jit(lambda p, s: pipe._decode_latents(p, s, "batched"))
+for n in (1, 8):
+    out["dec" + str(n)] = flops(dec.lower(params, lat_struct(n)))
+print(json.dumps(out))
+"""
+
+
+def _program_flops(bs: int, steps: int) -> dict:
+    """{"gen": f, "dec1": f, "dec8": f} from the CPU-client cost analysis
+    of the exact serving programs; {} when the child fails."""
+    import subprocess
+
+    src = _FLOPS_CHILD.replace("@BS@", str(bs)).replace("@STEPS@", str(steps))
+    r = subprocess.run(
+        [sys.executable, "-c", src], capture_output=True, text=True,
+        timeout=600,
+    )
+    if r.returncode != 0:
+        tail = (r.stderr or "").strip().splitlines()
+        print(
+            f"flop-count child failed: {tail[-1] if tail else r.returncode}",
+            file=sys.stderr,
+        )
+        return {}
+    return json.loads(r.stdout.strip().splitlines()[-1])
 
 
 def _decode_ms(pipe, params, n: int) -> float:
@@ -212,29 +276,25 @@ def _report_mxu_util(pipe, params, cond, embeds, latents, num_steps: int,
     # NB: pipe.generate.lower would lose the method binding (MethodType
     # forwards attribute access to the raw jit function) — lower on the
     # class attribute with self passed explicitly (it's a static argname)
-    gen_fl = _program_flops(
-        type(pipe).generate.lower(
-            pipe, params, cond, embeds, latents,
-            num_inference_steps=num_steps,
-        )
-    )
+    fl = _program_flops(bs, num_steps)
     parts = []
+    gen_fl = fl.get("gen", 0.0)
     if gen_fl and per_gen_ms > 0:
         util = gen_fl / (per_gen_ms * bs * 1e-3) / (PEAK_BF16_TFLOPS * 1e12)
         parts.append(
             f"generate[bs={bs}] {100 * util:.1f}% "
             f"({gen_fl / 1e12:.2f} TF / {per_gen_ms * bs:.1f} ms)"
         )
-    dec = jax.jit(lambda p, s: pipe._decode_latents(p, s, "batched"))
     for n in (1, 8):
-        lat = pipe.init_latents(jax.random.key(3), n, 512, 512)
-        fl = _program_flops(dec.lower(params, lat))
+        dec_fl = fl.get(f"dec{n}", 0.0)
+        if not dec_fl:
+            continue
         ms = _decode_ms(pipe, params, n)
-        if fl and ms > 0:
-            util = fl / (ms * 1e-3) / (PEAK_BF16_TFLOPS * 1e12)
+        if ms > 0:
+            util = dec_fl / (ms * 1e-3) / (PEAK_BF16_TFLOPS * 1e12)
             parts.append(
                 f"decode[N={n}] {100 * util:.1f}% "
-                f"({fl / 1e12:.2f} TF / {ms:.1f} ms)"
+                f"({dec_fl / 1e12:.2f} TF / {ms:.1f} ms)"
             )
     if parts:
         print(

@@ -29,7 +29,7 @@ from pathlib import Path
 
 import jax
 import jax.numpy as jnp
-import optax
+import numpy as np
 
 from genima_tpu.core import checkpoint as ckpt
 from genima_tpu.core.mesh import data_sharding, replicated
@@ -212,11 +212,133 @@ def pretrain_base_model(
     return params
 
 
+class TinyVAEDistiller(ControlNetTrainer):
+    """Distills ``params['tiny_vae']``'s decoder against the full KL
+    decoder — the taesd recipe (the reference consumes the released
+    ``madebyollin/taesd`` weights, ``sd_controlnet_agent.py:44-49``; this
+    trains the same artifact in-framework for domains where no release
+    exists). Loss: MSE between the tiny decode and the FULL decode of the
+    same scaled latents, so the student matches what serving swaps out —
+    the decoder only (``SDControlNetPipeline._decode_latents``)."""
+
+    def create_state(self, params: dict) -> TrainState:
+        if "tiny_vae" not in params:
+            raise ValueError(
+                "params has no 'tiny_vae' tree — build the pipeline with "
+                "use_tiny_vae=True (init_params then emits it)"
+            )
+        self._frozen = {k: v for k, v in params.items() if k != "tiny_vae"}
+        trainable = jax.tree_util.tree_map(jnp.array, params["tiny_vae"])
+        state = TrainState(
+            params=trainable,
+            opt_state=self.tx.init(trainable),
+            step=jnp.zeros((), jnp.int32),
+        )
+        if self.mesh is not None:
+            rep = replicated(self.mesh)
+            state = jax.device_put(state, rep)
+            self._frozen = jax.device_put(self._frozen, rep)
+        return state
+
+    def _loss_fn(self, tiny_params, frozen, batch, key):
+        pipe = self.pipe
+        pixel_values, _ = normalize_image_batch(
+            batch["pixel_values"], batch["conditioning_pixel_values"]
+        )
+        dist = pipe.vae.apply(
+            {"params": frozen["vae"]}, pixel_values.astype(pipe.dtype),
+            method=pipe.vae.encode,
+        )
+        # deterministic teacher latents, scaled like serving hands them over
+        z = dist.mode().astype(jnp.float32) * pipe.vae_cfg.scaling_factor
+        teacher = pipe.vae.apply(
+            {"params": frozen["vae"]},
+            (z / pipe.vae_cfg.scaling_factor).astype(pipe.dtype),
+            method=pipe.vae.decode,
+        )
+        student = pipe.tiny_vae.apply(
+            {"params": tiny_params}, z.astype(pipe.dtype),
+            method=pipe.tiny_vae.decode,
+        )
+        return jnp.mean(
+            (student.astype(jnp.float32) - teacher.astype(jnp.float32)) ** 2
+        )
+
+
+def distill_tiny_vae(
+    pipe,
+    params: dict,
+    loader,
+    steps: int = 300,
+    lr: float = 1e-3,
+    mesh=None,
+    seed: int = 0,
+    log_every: int = 50,
+) -> dict:
+    """Train ``params['tiny_vae']`` to mimic the full decoder on ``loader``
+    images; returns updated params. Measure the result with
+    ``tiny_vae_decode_psnr`` — the quality bound that decides whether
+    serving can flip ``use_tiny_vae`` for this domain."""
+    from genima_tpu.core.mesh import shard_batch
+
+    cfg = TrainConfig(
+        learning_rate=lr, max_train_steps=steps, lr_scheduler="cosine",
+        lr_warmup_steps=min(50, steps // 4), adam_weight_decay=0.0,
+        log_grad_norm=False,
+    )
+    trainer = TinyVAEDistiller(pipe, cfg, mesh)
+    state = trainer.create_state(params)
+    key = jax.random.key(seed)
+    it = iter(loader)
+    for step in range(steps):
+        try:
+            batch = next(it)
+        except StopIteration:
+            it = iter(loader)
+            batch = next(it)
+        if mesh is not None:
+            batch = shard_batch(batch, mesh)
+        key, sub = jax.random.split(key)
+        state, metrics = trainer.train_step(state, batch, sub)
+        if step % log_every == 0 or step == steps - 1:
+            print(
+                f"distill[tiny_vae] step {step}: "
+                f"loss={float(metrics['loss']):.5f}"
+            )
+    params["tiny_vae"] = state.params
+    return params
+
+
+def tiny_vae_decode_psnr(pipe, params: dict, images) -> float:
+    """PSNR (dB, [-1,1] signal -> peak 2.0) of the tiny decode against the
+    full KL decode on the same deterministic latents — the measured bound
+    on what flipping ``use_tiny_vae`` costs for this image domain."""
+    x = jnp.asarray(images)
+    if x.dtype == jnp.uint8:
+        x = x.astype(jnp.float32) / 127.5 - 1.0
+    dist = pipe.vae.apply(
+        {"params": params["vae"]}, x.astype(pipe.dtype),
+        method=pipe.vae.encode,
+    )
+    z = dist.mode().astype(jnp.float32)
+    teacher = pipe.vae.apply(
+        {"params": params["vae"]}, z.astype(pipe.dtype),
+        method=pipe.vae.decode,
+    ).astype(jnp.float32)
+    student = pipe.tiny_vae.apply(
+        {"params": params["tiny_vae"]},
+        (z * pipe.vae_cfg.scaling_factor).astype(pipe.dtype),
+        method=pipe.tiny_vae.decode,
+    ).astype(jnp.float32)
+    mse = float(jnp.mean((student - teacher) ** 2))
+    return float(10.0 * np.log10(4.0 / max(mse, 1e-12)))
+
+
 def save_base_model(out_dir: str | Path, params: dict) -> Path:
     """HF-hub-style snapshot: ``<dir>/<submodel>/params.msgpack`` for every
     base tower present — what ``--pretrained_model_name_or_path`` loads."""
     out_dir = Path(out_dir)
-    for name in ("vae", "unet", "text_encoder", "text_encoder_2"):
+    for name in ("vae", "unet", "text_encoder", "text_encoder_2", "tiny_vae"):
         if name in params:
             d = out_dir / name
             d.mkdir(parents=True, exist_ok=True)

@@ -30,7 +30,18 @@ def main() -> int:
     ap.add_argument("--out", default=None, help="copy the result JSON here")
     ap.add_argument("--episodes", type=int, default=None,
                     help="override eval episodes per arm")
+    ap.add_argument("--tpu", action="store_true",
+                    help="run on the default (TPU) backend; default is CPU "
+                    "— the gate's models are tiny and a relay outage "
+                    "mid-compile would otherwise kill a 30-minute run")
     args = ap.parse_args()
+
+    if not args.tpu:
+        # env vars are too late on this host (sitecustomize imports jax at
+        # interpreter start); the config update is what actually wins
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from genima_tpu.eval.learning_gate import GateConfig, run_learning_gate
 
