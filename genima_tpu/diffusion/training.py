@@ -103,8 +103,11 @@ def make_lr_schedule(cfg: TrainConfig) -> optax.Schedule:
             [cfg.lr_warmup_steps],
         )
     if cfg.lr_scheduler == "cosine":
+        # decay_steps must exceed warmup (optax rejects <=0 decay); tiny
+        # smoke configs legitimately set max_train_steps < lr_warmup_steps
+        warmup = min(cfg.lr_warmup_steps, max(cfg.max_train_steps - 1, 0))
         return optax.warmup_cosine_decay_schedule(
-            0.0, base, cfg.lr_warmup_steps, cfg.max_train_steps
+            0.0, base, warmup, max(cfg.max_train_steps, warmup + 1)
         )
     warmup = cfg.lr_warmup_steps
     decay_steps = max(cfg.max_train_steps - warmup, 1)
