@@ -67,6 +67,9 @@ def build_parser(variant: str) -> argparse.ArgumentParser:
         choices=["ddpm", "euler_discrete", "ddim"])
     add("--timestep_spacing", type=str, default="uniform",
         choices=["uniform", "turbo_timesteps"])
+    add("--train_timestep_grid", type=str, default=None,
+        help="comma list of explicit training timesteps (e.g. the serving "
+        "sampler's exact few-step grid); overrides --timestep_spacing")
     add("--augmentations", type=str, default=None,
         help="comma list: colorjitter,elastic,blur,affine,crop")
     add("--tiny_vae", action="store_true")

@@ -76,6 +76,9 @@ class GenimaACTAgent:
     data_augmentation: bool = True
     dtype: Any = jnp.float32
     resnet_width: int = 64
+    # small-view stem (nn/resnet.py): 8x total downsample instead of 32x,
+    # for controllers trained on <=64px views
+    resnet_small_inputs: bool = False
 
     def __post_init__(self):
         # the CLIP text projection feeds FiLM + the task token; keep its
@@ -89,6 +92,7 @@ class GenimaACTAgent:
             use_lang_cond=self.act_cfg.use_lang_cond,
             dtype=self.dtype,
             width=self.resnet_width,
+            small_inputs=self.resnet_small_inputs,
         )
         self.actor = GenimaACTModel(self.act_cfg, dtype=self.dtype)
         self.clip = CLIPTextModel(self.clip_cfg, dtype=self.dtype)

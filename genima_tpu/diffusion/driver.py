@@ -267,6 +267,11 @@ def run_training(args, variant: str = "sd", pipe=None) -> dict:
         max_train_steps=max_steps * n_dev,
         gradient_accumulation_steps=args.gradient_accumulation_steps,
         timestep_spacing=args.timestep_spacing,
+        train_timestep_grid=(
+            tuple(int(t) for t in args.train_timestep_grid.split(","))
+            if getattr(args, "train_timestep_grid", None)
+            else None
+        ),
         augmentations=args.augmentations,
         scheduler_config=sched_cfg,
     )

@@ -127,15 +127,9 @@ class UNetPretrainer(ControlNetTrainer):
         latents = latents * pipe.vae_cfg.scaling_factor
 
         noise = jax.random.normal(k_noise, latents.shape, jnp.float32)
-        if cfg.timestep_spacing == "turbo_timesteps":
-            from genima_tpu.diffusion.training import TURBO_TIMESTEPS
+        from genima_tpu.diffusion.training import sample_train_timesteps
 
-            idx = jax.random.randint(k_t, (bsz,), 0, len(TURBO_TIMESTEPS))
-            timesteps = jnp.asarray(TURBO_TIMESTEPS, jnp.int32)[idx]
-        else:
-            timesteps = jax.random.randint(
-                k_t, (bsz,), 0, cfg.scheduler_config.num_train_timesteps
-            )
+        timesteps = sample_train_timesteps(cfg, k_t, bsz)
         from genima_tpu.diffusion.schedulers import add_noise, get_velocity
 
         noisy = add_noise(self.alphas_cumprod, latents, noise, timesteps)
@@ -168,6 +162,7 @@ def pretrain_base_model(
     mesh=None,
     seed: int = 0,
     log_every: int = 50,
+    train_timestep_grid: tuple[int, ...] | None = None,
 ) -> dict:
     """Train VAE then UNet on ``loader`` batches; returns updated params.
     The two stages are sequential by construction: the UNet denoises in the
@@ -205,6 +200,7 @@ def pretrain_base_model(
         learning_rate=unet_lr, max_train_steps=unet_steps,
         lr_scheduler="cosine", lr_warmup_steps=min(50, unet_steps // 4),
         log_grad_norm=False,
+        train_timestep_grid=train_timestep_grid,
     )
     params["unet"] = run(
         UNetPretrainer(pipe, unet_cfg, mesh), unet_steps, "unet"

@@ -34,6 +34,23 @@ from genima_tpu.diffusion.schedulers import (
 TURBO_TIMESTEPS = (999, 749, 499, 249, 0)  # reference :1339-1354 (ADD paper)
 
 
+def sample_train_timesteps(cfg: "TrainConfig", k_t: jax.Array, bsz: int):
+    """Batch of training timesteps per the config's policy: an explicit
+    ``train_timestep_grid`` (highest precedence — align training with the
+    serving sampler's exact grid), ``turbo_timesteps`` (sd-turbo's ADD
+    grid, reference :1339-1354), else uniform over [0, num_train)."""
+    if cfg.train_timestep_grid:
+        grid = jnp.asarray(cfg.train_timestep_grid, jnp.int32)
+        idx = jax.random.randint(k_t, (bsz,), 0, len(cfg.train_timestep_grid))
+        return grid[idx]
+    if cfg.timestep_spacing == "turbo_timesteps":
+        idx = jax.random.randint(k_t, (bsz,), 0, len(TURBO_TIMESTEPS))
+        return jnp.asarray(TURBO_TIMESTEPS, jnp.int32)[idx]
+    return jax.random.randint(
+        k_t, (bsz,), 0, cfg.scheduler_config.num_train_timesteps
+    )
+
+
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
     learning_rate: float = 1e-5
@@ -56,6 +73,13 @@ class TrainConfig:
     max_train_steps: int = 15000
     gradient_accumulation_steps: int = 1
     timestep_spacing: str = "uniform"  # or "turbo_timesteps"
+    # explicit training-timestep grid (e.g. the exact few-step inference
+    # grid of the serving sampler). The reference trains against sd-turbo,
+    # whose UNet was distilled onto TURBO_TIMESTEPS; a from-scratch base
+    # model (diffusion/pretrain.py) has no such prior, so training on the
+    # inference grid is what makes few-step sampling coherent. Overrides
+    # timestep_spacing when set.
+    train_timestep_grid: tuple[int, ...] | None = None
     lr_num_cycles: int = 1  # cosine_with_restarts hard restarts
     lr_power: float = 1.0  # polynomial decay exponent
     lr_end: float = 1e-7  # polynomial floor (diffusers default)
@@ -238,13 +262,7 @@ class ControlNetTrainer:
         latents = latents * pipe.vae_cfg.scaling_factor
 
         noise = jax.random.normal(k_noise, latents.shape, jnp.float32)
-        if cfg.timestep_spacing == "turbo_timesteps":
-            idx = jax.random.randint(k_t, (bsz,), 0, len(TURBO_TIMESTEPS))
-            timesteps = jnp.asarray(TURBO_TIMESTEPS, jnp.int32)[idx]
-        else:
-            timesteps = jax.random.randint(
-                k_t, (bsz,), 0, cfg.scheduler_config.num_train_timesteps
-            )
+        timesteps = sample_train_timesteps(cfg, k_t, bsz)
         noisy = add_noise(self.alphas_cumprod, latents, noise, timesteps)
 
         encoder_out = pipe.text_encoder.apply(
@@ -352,13 +370,7 @@ class SDXLControlNetTrainer(ControlNetTrainer):
         latents = latents * pipe.vae_cfg.scaling_factor
 
         noise = jax.random.normal(k_noise, latents.shape, jnp.float32)
-        if cfg.timestep_spacing == "turbo_timesteps":
-            idx = jax.random.randint(k_t, (bsz,), 0, len(TURBO_TIMESTEPS))
-            timesteps = jnp.asarray(TURBO_TIMESTEPS, jnp.int32)[idx]
-        else:
-            timesteps = jax.random.randint(
-                k_t, (bsz,), 0, cfg.scheduler_config.num_train_timesteps
-            )
+        timesteps = sample_train_timesteps(cfg, k_t, bsz)
         noisy = add_noise(self.alphas_cumprod, latents, noise, timesteps)
 
         out1 = pipe.text_encoder.apply(
@@ -481,9 +493,7 @@ class Pix2PixTrainer(ControlNetTrainer):
         ).mode().astype(jnp.float32)
 
         noise = jax.random.normal(k_noise, latents.shape, jnp.float32)
-        timesteps = jax.random.randint(
-            k_t, (bsz,), 0, cfg.scheduler_config.num_train_timesteps
-        )
+        timesteps = sample_train_timesteps(cfg, k_t, bsz)
         noisy = add_noise(self.alphas_cumprod, latents, noise, timesteps)
 
         context = pipe.text_encoder.apply(

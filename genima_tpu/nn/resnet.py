@@ -77,19 +77,35 @@ class ResNet18(nn.Module):
 
     dtype: jnp.dtype = jnp.float32
     width: int = 64  # tests can shrink
+    # CIFAR-style stem for small views: 3x3 stride-1 conv1, no maxpool —
+    # total downsample 8x instead of 32x, preserving the token density the
+    # reference's 256px inputs get from the standard stem (256/32 = 8
+    # tokens/side vs e.g. 48/8 = 6). The torchvision stem at <=64px leaves
+    # 2x2 feature maps, burying sub-cell target positions.
+    small_inputs: bool = False
 
     @nn.compact
     def __call__(
         self, x: jax.Array, lang_emb: jax.Array | None = None
     ) -> jax.Array:
         w = self.width
-        x = nn.Conv(
-            w, (7, 7), strides=2, padding=3, use_bias=False, dtype=self.dtype,
-            name="conv1",
-        )(x)
-        x = FrozenBatchNorm(w, dtype=self.dtype, name="bn1")(x)
-        x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        if self.small_inputs:
+            x = nn.Conv(
+                w, (3, 3), strides=1, padding=1, use_bias=False,
+                dtype=self.dtype, name="conv1",
+            )(x)
+            x = FrozenBatchNorm(w, dtype=self.dtype, name="bn1")(x)
+            x = nn.relu(x)
+        else:
+            x = nn.Conv(
+                w, (7, 7), strides=2, padding=3, use_bias=False,
+                dtype=self.dtype, name="conv1",
+            )(x)
+            x = FrozenBatchNorm(w, dtype=self.dtype, name="bn1")(x)
+            x = nn.relu(x)
+            x = nn.max_pool(
+                x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+            )
         stage_widths = [w, 2 * w, 4 * w, 8 * w]
         for stage, sw in enumerate(stage_widths):
             strides = 1 if stage == 0 else 2
@@ -139,6 +155,7 @@ class ImageEncoderACT(nn.Module):
     use_lang_cond: bool = True
     dtype: jnp.dtype = jnp.float32
     width: int = 64
+    small_inputs: bool = False
 
     @nn.compact
     def __call__(
@@ -147,7 +164,10 @@ class ImageEncoderACT(nn.Module):
         lang_emb: jax.Array | None = None,  # (B, lang_dim)
     ) -> tuple[jax.Array, jax.Array]:
         b, v, h, w, c = images.shape
-        backbone = ResNet18(dtype=self.dtype, width=self.width, name="backbone")
+        backbone = ResNet18(
+            dtype=self.dtype, width=self.width,
+            small_inputs=self.small_inputs, name="backbone",
+        )
         feats = []
         for i in range(v):
             feats.append(

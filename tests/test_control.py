@@ -238,3 +238,40 @@ def test_update_overfits_tiny_batch():
         if first is None:
             first = float(m["l1"])
     assert float(m["l1"]) < first * 0.7, (first, float(m["l1"]))
+
+
+def test_resnet_small_inputs_token_density():
+    """The small-view stem preserves spatial tokens: 8x downsample instead
+    of 32x, matching the reference's 256px token density on <=64px views
+    (sub-cell target-sphere positions are unreadable from a 2x2 map)."""
+    from genima_tpu.nn.resnet import ResNet18
+
+    x = jnp.zeros((1, 48, 48, 3))
+    std = ResNet18(width=8)
+    p = std.init(jax.random.key(0), x)
+    assert std.apply(p, x).shape[1:3] == (2, 2)
+
+    small = ResNet18(width=8, small_inputs=True)
+    p = small.init(jax.random.key(0), x)
+    assert small.apply(p, x).shape[1:3] == (6, 6)
+
+
+def test_agent_small_inputs_end_to_end():
+    agent = GenimaACTAgent(
+        act_cfg=ACTConfig.tiny(),
+        clip_cfg=CLIPTextConfig.tiny(projection_dim=16),
+        image_size=32,
+        resnet_width=8,
+        num_views=2,
+        data_augmentation=False,
+        resnet_small_inputs=True,
+    )
+    params, clip_p = agent.init_params(jax.random.key(0))
+    agent.create_state(params, clip_p)
+    actions = agent.act(
+        params,
+        jnp.zeros((1, 2, 32, 32, 3)),
+        jnp.zeros((1, 8)),
+        jnp.zeros((1, 77), jnp.int32),
+    )
+    assert actions.shape == (1, agent.act_cfg.num_queries, agent.act_cfg.action_dim)

@@ -142,6 +142,49 @@ def test_turbo_timestep_sampling():
     assert TURBO_TIMESTEPS == (999, 749, 499, 249, 0)
 
 
+def test_sample_train_timesteps_policies():
+    """Grid > turbo > uniform precedence, and grid-only emission — training
+    on the serving sampler's exact few-step grid is what makes a
+    from-scratch base model coherent at few-step inference."""
+    from genima_tpu.diffusion.training import (
+        TURBO_TIMESTEPS,
+        sample_train_timesteps,
+    )
+
+    key = jax.random.key(0)
+    grid = (999, 799, 599, 399, 199)
+    cfg = TrainConfig(train_timestep_grid=grid)
+    ts = np.asarray(sample_train_timesteps(cfg, key, 256))
+    assert set(ts.tolist()) <= set(grid)
+    assert len(set(ts.tolist())) > 1  # actually sampling, not constant
+
+    cfg = TrainConfig(timestep_spacing="turbo_timesteps")
+    ts = np.asarray(sample_train_timesteps(cfg, key, 256))
+    assert set(ts.tolist()) <= set(TURBO_TIMESTEPS)
+
+    # grid overrides spacing when both are set
+    cfg = TrainConfig(
+        timestep_spacing="turbo_timesteps", train_timestep_grid=grid
+    )
+    ts = np.asarray(sample_train_timesteps(cfg, key, 256))
+    assert set(ts.tolist()) <= set(grid)
+
+    cfg = TrainConfig()
+    ts = np.asarray(sample_train_timesteps(cfg, key, 512))
+    assert ts.min() >= 0 and ts.max() < 1000
+    assert len(set(ts.tolist())) > len(grid)  # uniform, not grid-locked
+
+
+def test_train_timestep_grid_cli_wiring():
+    from genima_tpu.cli.train_controlnet_genima import parse_args
+
+    args = parse_args(
+        ["--data_path", "/tmp/x", "--output_dir", "/tmp/y",
+         "--train_timestep_grid", "999,799,599,399,199"]
+    )
+    assert args.train_timestep_grid == "999,799,599,399,199"
+
+
 def test_lr_schedules():
     cfg = TrainConfig(
         learning_rate=1e-3, lr_scheduler="constant_with_warmup",
